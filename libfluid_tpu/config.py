@@ -1,0 +1,163 @@
+"""Frozen configuration dataclasses.
+
+The reference exposes tunables as public mutable fields on each class
+(``simulation.h:177-190``, ``pressure_solver.h:38-42``, ``mesher.h:27-31``,
+``path_tracer.h:21``, ``bidirectional_path_tracer.h:18-21``). Here they are
+frozen dataclasses so a config can be closed over by ``jax.jit`` as a static
+argument; the field names and defaults mirror the reference 1:1 so parameter
+sets port directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+class TransferScheme(enum.Enum):
+    """Particle<->grid transfer scheme (reference ``simulation.h:44-48``)."""
+
+    PIC = "pic"
+    FLIP = "flip_blend"
+    APIC = "apic"
+
+
+class CellType:
+    """Cell-content markers (reference ``mac_grid.h:17-21``).
+
+    Stored as an int8 grid; out-of-bounds lookups behave as SOLID
+    (``mac_grid.cpp:30``).
+    """
+
+    AIR = 0
+    FLUID = 1
+    SOLID = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pressure-solver tunables (reference ``pressure_solver.h:38-42``).
+
+    The reference uses a serial MIC(0)-preconditioned CG; on TPU the
+    preconditioner is diagonal (order-free, shardable), so iteration counts
+    are higher for the same tolerance — ``max_iterations`` defaults higher.
+    """
+
+    tolerance: float = 1e-6  # max-norm residual threshold (ref pressure_solver.h:41)
+    max_iterations: int = 400  # ref: 200 with MIC(0); diagonal needs more
+    check_every: int = 1  # residual check cadence inside the CG while_loop
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Simulation tunables (reference ``simulation.h:177-190``).
+
+    `grid_size` is the number of cells per axis (nx, ny, nz); the MAC arrays
+    carry one extra face layer per axis. `particle_capacity` fixes the size of
+    the particle SoA arrays (XLA requires static shapes); inactive slots are
+    masked out everywhere.
+    """
+
+    grid_size: Tuple[int, int, int] = (50, 50, 50)
+    cell_size: float = 1.0
+    grid_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    gravity: Tuple[float, float, float] = (0.0, -981.0, 0.0)
+
+    particle_capacity: int = 1 << 17
+
+    scheme: TransferScheme = TransferScheme.APIC
+    blending_factor: float = 1.0  # FLIP blend (ref simulation.h:180)
+    cfl_number: float = 3.0
+    density: float = 1.0
+    boundary_skin_width: float = 0.1
+    correction_stiffness: float = 5.0
+    velocity_extrapolation_iterations: int = 3  # ref simulation.h:187 default 3
+    seeding_density: int = 2  # particles-per-cell cube root (ref simulation.h:54)
+
+    enable_position_correction: bool = True
+    enable_collisions: bool = True
+    collision_substeps: int = 8  # samples along the old->new segment
+    max_neighbors_per_cell: int = 16  # binning capacity for neighbor gathers
+
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+    dtype: jnp.dtype = jnp.float32
+
+    # ---- derived helpers (static python, safe under jit) ----
+
+    @property
+    def nx(self) -> int:
+        return self.grid_size[0]
+
+    @property
+    def ny(self) -> int:
+        return self.grid_size[1]
+
+    @property
+    def nz(self) -> int:
+        return self.grid_size[2]
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def domain_min(self) -> Tuple[float, float, float]:
+        return self.grid_offset
+
+    @property
+    def domain_max(self) -> Tuple[float, float, float]:
+        ox, oy, oz = self.grid_offset
+        return (
+            ox + self.nx * self.cell_size,
+            oy + self.ny * self.cell_size,
+            oz + self.nz * self.cell_size,
+        )
+
+    def __hash__(self):
+        return hash(
+            (self.grid_size, self.cell_size, self.grid_offset, self.gravity,
+             self.particle_capacity, self.scheme, self.blending_factor,
+             self.cfl_number, self.density, self.boundary_skin_width,
+             self.correction_stiffness, self.velocity_extrapolation_iterations,
+             self.seeding_density, self.enable_position_correction,
+             self.enable_collisions, self.collision_substeps,
+             self.max_neighbors_per_cell, self.solver, str(self.dtype)))
+
+
+@dataclasses.dataclass(frozen=True)
+class MesherConfig:
+    """Surface mesher tunables (reference ``mesher.h:25-34``)."""
+
+    grid_size: Tuple[int, int, int] = (64, 64, 64)
+    cell_size: float = 0.5
+    grid_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    particle_extent: float = 2.0  # kernel support radius, world units (ref mesher.h:28)
+    particle_radius: float = 0.5  # average-radius contribution per particle
+    max_triangles: int = 1 << 18  # static output capacity for marching cubes
+
+    def __hash__(self):
+        return hash((self.grid_size, self.cell_size, self.grid_offset,
+                     self.particle_extent, self.particle_radius,
+                     self.max_triangles))
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Renderer tunables (reference ``path_tracer.h:21``, ``bidirectional_path_tracer.h:18-21``)."""
+
+    width: int = 256
+    height: int = 256
+    samples_per_pixel: int = 16
+    max_bounces: int = 5  # naive PT cap (ref path_tracer.h:21)
+    max_camera_bounces: int = 8  # BDPT camera subpath cap (ref bdpt.h:19; ref uses 15)
+    max_light_bounces: int = 8  # BDPT light subpath cap (ref bdpt.h:21)
+    ray_batch: int = 1 << 15  # rays traced per wavefront batch
+
+    def __hash__(self):
+        return hash((self.width, self.height, self.samples_per_pixel,
+                     self.max_bounces, self.max_camera_bounces,
+                     self.max_light_bounces, self.ray_batch))

@@ -1,0 +1,111 @@
+"""Mesher tests: SDF correctness against a NumPy oracle of the reference
+kernel, marching-cubes topology/geometry on analytic SDFs, and
+differentiability of vertex positions w.r.t. the field."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libfluid_tpu.config import MesherConfig
+from libfluid_tpu.mesher import marching_cubes, sample_surface
+from libfluid_tpu.mesher.marching_cubes import MeshBuffers
+
+
+def _sphere_sdf(cfg, center, radius):
+    nx, ny, nz = cfg.grid_size
+    xs = np.asarray(cfg.grid_offset)[0] + np.arange(nx + 1) * cfg.cell_size
+    ys = np.asarray(cfg.grid_offset)[1] + np.arange(ny + 1) * cfg.cell_size
+    zs = np.asarray(cfg.grid_offset)[2] + np.arange(nz + 1) * cfg.cell_size
+    g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+    return np.linalg.norm(g - center, axis=-1) - radius
+
+
+def test_marching_cubes_sphere():
+    cfg = MesherConfig(grid_size=(24, 24, 24), cell_size=0.5, max_triangles=8192)
+    center = np.array([6.0, 6.0, 6.0])
+    radius = 3.0
+    sdf = jnp.asarray(_sphere_sdf(cfg, center, radius), jnp.float32)
+    mesh = jax.jit(lambda s: marching_cubes(s, cfg))(sdf)
+    n = int(mesh.count)
+    assert 500 < n < 8192
+    verts = np.asarray(mesh.vertices)[:n].reshape(-1, 3)
+    # all vertices lie on the sphere up to linear interpolation error
+    d = np.linalg.norm(verts - center, axis=-1)
+    np.testing.assert_allclose(d, radius, atol=0.1)
+    # surface area of the triangle soup approximates the sphere
+    tris = np.asarray(mesh.vertices)[:n]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum()
+    np.testing.assert_allclose(area, 4 * np.pi * radius**2, rtol=0.05)
+
+
+def test_marching_cubes_winding_consistent():
+    """Triangle normals must point outward (along the SDF gradient), matching
+    the reference tables' orientation convention."""
+    cfg = MesherConfig(grid_size=(16, 16, 16), cell_size=0.5, max_triangles=4096)
+    center = np.array([4.0, 4.0, 4.0])
+    sdf = jnp.asarray(_sphere_sdf(cfg, center, 2.0), jnp.float32)
+    mesh = marching_cubes(sdf, cfg)
+    n = int(mesh.count)
+    tris = np.asarray(mesh.vertices)[:n]
+    nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    outward = (tris.mean(axis=1) - center)
+    dots = np.sum(nrm * outward, axis=-1)
+    # all consistently oriented (one sign); reference tables give outward for
+    # value<0 inside
+    frac_out = (dots > 0).mean()
+    assert frac_out > 0.99 or frac_out < 0.01
+    assert frac_out > 0.5  # and specifically outward
+
+
+def test_sdf_from_particles_matches_oracle():
+    """sample_surface == brute-force NumPy evaluation of the reference kernel
+    (mesher.cpp:325-376)."""
+    cfg = MesherConfig(
+        grid_size=(10, 10, 10), cell_size=0.5, particle_extent=0.8, particle_radius=0.4
+    )
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(1.0, 4.0, size=(64, 3)).astype(np.float32)
+    active = np.ones((64,), bool)
+    got = np.asarray(sample_surface(jnp.asarray(pos), jnp.asarray(active), cfg))
+
+    nx, ny, nz = cfg.grid_size
+    ext2 = cfg.particle_extent**2
+    expect = np.ones((nx + 1, ny + 1, nz + 1))
+    for ix in range(nx + 1):
+        for iy in range(ny + 1):
+            for iz in range(nz + 1):
+                node = np.array([ix, iy, iz]) * cfg.cell_size
+                d2 = np.sum((pos - node) ** 2, axis=-1) / ext2
+                kl = 1.0 - d2
+                w = np.where(kl > 0, kl**3, 0.0)
+                if w.sum() > 0:
+                    avg = (w[:, None] * pos).sum(0) / w.sum()
+                    expect[ix, iy, iz] = np.linalg.norm(avg - node) - cfg.particle_radius
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_mc_vertices_differentiable_wrt_sdf():
+    cfg = MesherConfig(grid_size=(8, 8, 8), cell_size=1.0, max_triangles=1024)
+    sdf0 = jnp.asarray(_sphere_sdf(cfg, np.array([4.0, 4.0, 4.0]), 2.0), jnp.float32)
+
+    def loss(sdf):
+        mesh = marching_cubes(sdf, cfg)
+        mask = (jnp.arange(cfg.max_triangles) < mesh.count).astype(sdf.dtype)
+        return jnp.sum(mesh.vertices[:, :, 1] * mask[:, None])  # sum of y coords
+
+    g = jax.grad(loss)(sdf0)
+    gn = np.asarray(g)
+    assert np.isfinite(gn).all()
+    assert np.abs(gn).max() > 0
+    # finite-difference check on one touched node, picked away from the zero
+    # level set so the +-eps probe cannot flip the cell topology (topology
+    # changes are genuine discontinuities of marching cubes)
+    sn = np.abs(np.asarray(sdf0))
+    cand = np.abs(gn) * (sn > 0.3)
+    idx = np.unravel_index(cand.argmax(), gn.shape)
+    eps = 1e-3
+    e = jnp.zeros_like(sdf0).at[idx].set(eps)
+    fd = (loss(sdf0 + e) - loss(sdf0 - e)) / (2 * eps)
+    np.testing.assert_allclose(float(gn[idx]), float(fd), rtol=5e-2)
