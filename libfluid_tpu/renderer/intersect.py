@@ -1,0 +1,182 @@
+"""Batched ray/scene intersection.
+
+Replaces the reference's SAH BVH traversal (``aabb_tree.cpp:227-322``) with a
+wavefront-friendly formulation: every ray tests triangle chunks in a
+``lax.scan`` (bounded memory, fully vectorized Möller–Trumbore over the
+ray x chunk block) and all spheres, keeping the nearest hit. For the scenes
+the reference ships (tens of triangles, one sphere) this is faster on TPU
+than divergent tree traversal; fluid meshes (10^5 triangles) get a two-level
+uniform-grid accelerator in a later pass (SURVEY.md §2 P9).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libfluid_tpu.math import intersection as isect
+from libfluid_tpu.renderer.scene import Scene
+
+_BIG = 3.0e38
+TRI_CHUNK = 512
+
+
+class HitRecord(NamedTuple):
+    hit: jnp.ndarray  # (R,) bool
+    t: jnp.ndarray  # (R,)
+    position: jnp.ndarray  # (R, 3)
+    normal: jnp.ndarray  # (R, 3) unit geometric normal
+    mat_id: jnp.ndarray  # (R,) int32
+    prim_kind: jnp.ndarray  # (R,) 0 = triangle, 1 = sphere
+    prim_id: jnp.ndarray  # (R,) int32
+    uv: jnp.ndarray  # (R, 2) barycentric (tri) / spherical (sphere)
+
+
+def _tri_chunks(scene: Scene):
+    t = scene.tri_p0.shape[0]
+    pad = (-t) % TRI_CHUNK
+    def padarr(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        ) if pad else x
+    p0 = padarr(scene.tri_p0, 1e30)
+    e1 = padarr(scene.tri_e1)
+    e2 = padarr(scene.tri_e2)
+    n = (t + pad) // TRI_CHUNK
+    return (
+        p0.reshape(n, TRI_CHUNK, 3),
+        e1.reshape(n, TRI_CHUNK, 3),
+        e2.reshape(n, TRI_CHUNK, 3),
+        n,
+    )
+
+
+def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_BIG) -> HitRecord:
+    """Nearest hit for a batch of rays; directions need not be normalized
+    (t is in units of |direction|, like the reference's ray_cast)."""
+    r = origin.shape[0]
+    p0c, e1c, e2c, nchunk = _tri_chunks(scene)
+
+    def chunk_body(carry, chunk):
+        best_t, best_id, best_u, best_v = carry
+        p0, e1, e2, base = chunk
+        hit, t, u, v = isect.ray_triangle(
+            origin[:, None, :], direction[:, None, :], p0[None], e1[None], e2[None]
+        )
+        t = jnp.where(hit, t, _BIG)
+        j = jnp.argmin(t, axis=1)
+        tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+        closer = tj < best_t
+        best_id = jnp.where(closer, base + j.astype(jnp.int32), best_id)
+        best_u = jnp.where(
+            closer, jnp.take_along_axis(u, j[:, None], axis=1)[:, 0], best_u
+        )
+        best_v = jnp.where(
+            closer, jnp.take_along_axis(v, j[:, None], axis=1)[:, 0], best_v
+        )
+        best_t = jnp.minimum(best_t, tj)
+        return (best_t, best_id, best_u, best_v), None
+
+    init = (
+        jnp.full((r,), t_max, origin.dtype),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), origin.dtype),
+        jnp.zeros((r,), origin.dtype),
+    )
+    bases = jnp.arange(nchunk, dtype=jnp.int32) * TRI_CHUNK
+    (tri_t, tri_id, tri_u, tri_v), _ = jax.lax.scan(
+        chunk_body, init, (p0c, e1c, e2c, bases)
+    )
+
+    # spheres: transform to local, hit unit sphere (primitive.cpp:59-135)
+    stl = scene.sph_to_local  # (S, 3, 4)
+    o_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], origin) + stl[None, :, :, 3]
+    d_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], direction)
+    sh, st = isect.ray_unit_sphere(o_loc, d_loc)
+    st = jnp.where(sh, st, _BIG)
+    sj = jnp.argmin(st, axis=1)
+    s_t = jnp.take_along_axis(st, sj[:, None], axis=1)[:, 0]
+
+    use_sphere = s_t < tri_t
+    best_t = jnp.where(use_sphere, s_t, tri_t)
+    hit = best_t < t_max
+
+    prim_kind = jnp.where(use_sphere, 1, 0).astype(jnp.int32)
+    prim_id = jnp.where(use_sphere, sj.astype(jnp.int32), tri_id)
+
+    pos = origin + direction * best_t[:, None]
+
+    # normals and materials
+    safe_tid = jnp.clip(tri_id, 0)
+    tri_n = scene.tri_normal[safe_tid]
+    tri_m = scene.tri_mat[safe_tid]
+
+    safe_sid = jnp.clip(sj, 0)
+    # sphere normal: local hit point through inverse-transpose of to_world's
+    # linear part == to_local^T applied to the local normal
+    lp = jnp.take_along_axis(o_loc, sj[:, None, None], axis=1)[:, 0] + jnp.take_along_axis(
+        d_loc, sj[:, None, None], axis=1
+    )[:, 0] * s_t[:, None]
+    a_loc = scene.sph_to_local[safe_sid][:, :, :3]
+    sph_n = jnp.einsum("rji,rj->ri", a_loc, lp)  # A^T * local_normal
+    sph_n = sph_n / jnp.maximum(
+        jnp.linalg.norm(sph_n, axis=-1, keepdims=True), 1e-30
+    )
+    sph_m = scene.sph_mat[safe_sid]
+
+    normal = jnp.where(use_sphere[:, None], sph_n, tri_n)
+    mat_id = jnp.where(use_sphere, sph_m, tri_m)
+    mat_id = jnp.where(hit, mat_id, 0)
+
+    # uv: barycentric for tris, spherical for spheres (primitive.cpp:47-56,120-135)
+    phi = jnp.arctan2(lp[:, 2], lp[:, 0])
+    theta = jnp.arccos(jnp.clip(lp[:, 1], -1.0, 1.0))
+    sph_uv = jnp.stack([phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1)
+    tri_uv = jnp.stack([tri_u, tri_v], axis=-1)
+    uv = jnp.where(use_sphere[:, None], sph_uv, tri_uv)
+
+    return HitRecord(
+        hit=hit,
+        t=best_t,
+        position=pos,
+        normal=normal,
+        mat_id=mat_id,
+        prim_kind=prim_kind,
+        prim_id=prim_id,
+        uv=uv,
+    )
+
+
+def test_visibility(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray, eps=1e-4) -> jnp.ndarray:
+    """True where the segment p1->p2 is unobstructed (``scene.cpp:77-85``):
+    the ray is shrunk by eps at both ends and any hit with t in (0, 1) blocks."""
+    diff = p2 - p1
+    n = diff / jnp.maximum(jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-30)
+    o = p1 + n * eps
+    d = diff - 2.0 * eps * n
+    rec = ray_cast(scene, o, d, t_max=1.0)
+    return ~rec.hit
+
+
+def tangent_frame(normal: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) world->tangent rotation with the normal on row 1 (+Y),
+    matching ``compute_arbitrary_tangent_space`` (``common.h:112-116``)."""
+    a = jnp.abs(normal)
+    # pick the axis least aligned with the normal (common.h:92-109)
+    use_x = (a[..., 0] <= a[..., 1]) & (a[..., 0] <= a[..., 2])
+    use_y = ~use_x & (a[..., 1] <= a[..., 2])
+    axis = jnp.where(
+        use_x[..., None],
+        jnp.asarray([1.0, 0.0, 0.0], normal.dtype),
+        jnp.where(
+            use_y[..., None],
+            jnp.asarray([0.0, 1.0, 0.0], normal.dtype),
+            jnp.asarray([0.0, 0.0, 1.0], normal.dtype),
+        ),
+    )
+    x = jnp.cross(normal, axis)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    z = jnp.cross(x, normal)
+    return jnp.stack([x, normal, z], axis=-2)
