@@ -84,7 +84,9 @@ def gather_neighbors(
                 start = binning.cell_start[c]
                 count = binning.cell_count[c]
                 slot = jnp.arange(k, dtype=jnp.int32)[None, :]
-                pos_in_order = jnp.clip(start[:, None] + slot, 0, position.shape[0] - 1)
+                pos_in_order = jnp.clip(
+                    start[:, None] + slot, 0, binning.order.shape[0] - 1
+                )
                 ids = binning.order[pos_in_order]
                 valid = inb[:, None] & (slot < count[:, None])
                 ids_all.append(ids)

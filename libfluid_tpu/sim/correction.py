@@ -21,6 +21,10 @@ from libfluid_tpu.config import SimConfig
 from libfluid_tpu.sim import binning as binning_mod
 
 
+CHUNK = 1 << 16  # particles per gather chunk; bounds the (chunk, 27*K) blowup
+# so 128^3-scale scenes (millions of particles) fit in HBM
+
+
 def correct_positions(
     position: jnp.ndarray,
     active: jnp.ndarray,
@@ -32,28 +36,41 @@ def correct_positions(
     re = cfg.cell_size / jnp.sqrt(2.0).astype(cfg.dtype)
     n = position.shape[0]
 
-    ids, valid = binning_mod.gather_neighbors(bins, position, cfg)
-    # exclude self-pairs
-    valid = valid & (ids != jnp.arange(n, dtype=ids.dtype)[:, None])
+    def spring_of(args):
+        pos_chunk, key_chunk, base = args
+        ids, valid = binning_mod.gather_neighbors(bins, pos_chunk, cfg)
+        # exclude self-pairs
+        self_id = base + jnp.arange(pos_chunk.shape[0], dtype=ids.dtype)
+        valid = valid & (ids != self_id[:, None])
 
-    nbr_pos = position[ids]  # (N, M, 3)
-    offset = position[:, None, :] - nbr_pos
-    sq = jnp.sum(offset * offset, axis=-1)
-    degenerate = sq < 1e-12
+        nbr_pos = position[ids]  # (C, M, 3)
+        offset = pos_chunk[:, None, :] - nbr_pos
+        sq = jnp.sum(offset * offset, axis=-1)
+        degenerate = sq < 1e-12
 
-    kernel_lower = 1.0 - sq / (re * re)
-    kernel = jnp.where(kernel_lower > 0.0, kernel_lower ** 3, 0.0)
-    inv_dist = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-    spring_terms = (kernel * inv_dist)[..., None] * offset
+        kernel_lower = 1.0 - sq / (re * re)
+        kernel = jnp.where(kernel_lower > 0.0, kernel_lower ** 3, 0.0)
+        inv_dist = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+        spring_terms = (kernel * inv_dist)[..., None] * offset
 
-    # near-coincident pairs contribute a uniform random force in [-1,1]^3
-    # (ref simulation.cpp:585-589)
-    jitter = jax.random.uniform(
-        key, spring_terms.shape, cfg.dtype, minval=-1.0, maxval=1.0
-    )
-    spring_terms = jnp.where(degenerate[..., None], jitter, spring_terms)
-    spring_terms = jnp.where(valid[..., None], spring_terms, 0.0)
-    spring = jnp.sum(spring_terms, axis=1)
+        # near-coincident pairs contribute a uniform random force in [-1,1]^3
+        # (ref simulation.cpp:585-589)
+        jitter = jax.random.uniform(
+            key_chunk, spring_terms.shape, cfg.dtype, minval=-1.0, maxval=1.0
+        )
+        spring_terms = jnp.where(degenerate[..., None], jitter, spring_terms)
+        spring_terms = jnp.where(valid[..., None], spring_terms, 0.0)
+        return jnp.sum(spring_terms, axis=1)
+
+    if n <= CHUNK:
+        spring = spring_of((position, key, jnp.int32(0)))
+    else:
+        nchunk = (n + CHUNK - 1) // CHUNK
+        pad = nchunk * CHUNK - n
+        pos_p = jnp.pad(position, ((0, pad), (0, 0))).reshape(nchunk, CHUNK, 3)
+        keys = jax.random.split(key, nchunk)
+        bases = jnp.arange(nchunk, dtype=jnp.int32) * CHUNK
+        spring = jax.lax.map(spring_of, (pos_p, keys, bases)).reshape(-1, 3)[:n]
 
     new_pos = position + spring * (dt * cfg.correction_stiffness * re)
     lo = jnp.asarray(cfg.domain_min, cfg.dtype)

@@ -1,0 +1,138 @@
+"""Sharding tests on the 8-device CPU mesh: sharded substep equivalence,
+halo-exchange stencil equivalence, sharded render determinism, and the full
+training step (the dryrun_multichip path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from libfluid_tpu import grids
+from libfluid_tpu.config import CellType, RenderConfig, SimConfig, TransferScheme
+from libfluid_tpu.parallel import (
+    halo_exchange_z,
+    make_mesh,
+    shard_sim_state,
+    sharded_render,
+)
+from libfluid_tpu.parallel.halo import sharded_apply_A
+from libfluid_tpu.sim import new_state, seed_box, substep
+from libfluid_tpu.sim import pressure
+from libfluid_tpu.renderer import scenes
+from libfluid_tpu.renderer.render import render
+
+
+def _state():
+    cfg = SimConfig(
+        grid_size=(16, 16, 16),
+        gravity=(0.0, -10.0, 0.0),
+        particle_capacity=1 << 12,
+        scheme=TransferScheme.APIC,
+    )
+    state = new_state(cfg, jax.random.PRNGKey(0))
+    state = seed_box(state, cfg, (1.0, 1.0, 1.0), (7.0, 7.0, 7.0))
+    return cfg, state
+
+
+def test_sharded_substep_matches_single_device():
+    cfg, state = _state()
+    mesh = make_mesh(8)
+    ref_state, ref_diag = jax.jit(lambda s: substep(s, cfg, 0.02))(state)
+    sh_state, sh_diag = jax.jit(lambda s: substep(s, cfg, 0.02))(
+        shard_sim_state(state, mesh)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state.position), np.asarray(sh_state.position), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state.velocity), np.asarray(sh_state.velocity), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(ref_diag.pressure_residual), float(sh_diag.pressure_residual), atol=1e-6
+    )
+
+
+def test_halo_exchange_matches_pad():
+    mesh = make_mesh(8)
+    x = jnp.arange(4 * 4 * 16, dtype=jnp.float32).reshape(4, 4, 16)
+
+    def local(x):
+        return halo_exchange_z(x, "dp")
+
+    out = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(None, None, "dp"), out_specs=P(None, None, "dp")
+        )
+    )(x)
+    # each tile is (4, 4, 2) padded to (4, 4, 4); reassembled output has the
+    # ghost layers interleaved — check a middle tile's ghosts directly
+    out = np.asarray(out).reshape(4, 4, 8, 4)
+    xt = np.asarray(x).reshape(4, 4, 8, 2)
+    for k in range(8):
+        left = np.zeros((4, 4)) if k == 0 else xt[:, :, k - 1, 1]
+        right = np.zeros((4, 4)) if k == 7 else xt[:, :, k + 1, 0]
+        np.testing.assert_array_equal(out[:, :, k, 0], left)
+        np.testing.assert_array_equal(out[:, :, k, 1:3], xt[:, :, k])
+        np.testing.assert_array_equal(out[:, :, k, 3], right)
+
+
+def test_sharded_apply_A_matches_dense():
+    """The z-tiled halo stencil equals the single-device operator."""
+    rng = np.random.default_rng(0)
+    n = 16
+    ct = np.full((n, n, n), CellType.AIR, np.int8)
+    fluid = rng.uniform(size=(n, n, n)) < 0.4
+    ct[fluid] = CellType.FLUID
+    ct[:, 0, :] = CellType.SOLID
+    ct_j = jnp.asarray(ct)
+    op = pressure.build_operator(ct_j)
+    p = jnp.asarray(rng.normal(size=(n, n, n)), jnp.float32)
+    a_scale = 0.7
+    expect = pressure.apply_A(op, p, a_scale)
+
+    # z-neighbor coupling masks per cell
+    cw = np.asarray(op.couple_w)  # (n, n, n+1)
+    couple_lo = jnp.asarray(cw[:, :, :-1])
+    couple_hi = jnp.asarray(cw[:, :, 1:])
+
+    mesh = make_mesh(8)
+    fn = jax.shard_map(
+        lambda f, cl, ch, cu, cv, d, pp: sharded_apply_A(
+            f, cl, ch, cu, cv, d, pp, a_scale, "dp"
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "dp"),
+            P(None, None, "dp"),
+            P(None, None, "dp"),
+            P(None, None, "dp"),  # x faces: leading dim nx+1, z still sharded
+            P(None, None, "dp"),  # y faces: same
+            P(None, None, "dp"),
+            P(None, None, "dp"),
+        ),
+        out_specs=P(None, None, "dp"),
+    )
+    cu = np.asarray(op.couple_u)
+    cv = np.asarray(op.couple_v)
+    got = jax.jit(fn)(
+        op.fluid, couple_lo, couple_hi, jnp.asarray(cu), jnp.asarray(cv), op.diag, p
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+
+
+def test_sharded_render_matches_spec():
+    builder, cam = scenes.cornell_box_one_light(1.0)
+    scene = builder.finish()
+    mesh = make_mesh(8)
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=2, max_bounces=2)
+    img = sharded_render(scene, cam, cfg, jax.random.PRNGKey(0), mesh)
+    a = np.asarray(img)
+    assert a.shape == (16, 32, 3)
+    assert np.isfinite(a).all()
+    assert a.mean() > 0.01
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
