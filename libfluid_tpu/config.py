@@ -47,8 +47,8 @@ class SolverConfig:
     """
 
     tolerance: float = 1e-6  # max-norm residual threshold (ref pressure_solver.h:41)
-    max_iterations: int = 400  # ref: 200 with MIC(0); diagonal needs more
-    check_every: int = 1  # residual check cadence inside the CG while_loop
+    max_iterations: int = 200  # ref pressure_solver.h:42
+    preconditioner: str = "mg"  # "mg" (geometric V-cycle) or "jacobi"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,7 +117,7 @@ class SimConfig:
             oz + self.nz * self.cell_size,
         )
 
-    def __hash__(self):
+    def __hash__(self):  # SimConfig
         return hash(
             (self.grid_size, self.cell_size, self.grid_offset, self.gravity,
              self.particle_capacity, self.scheme, self.blending_factor,

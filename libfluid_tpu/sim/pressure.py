@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from libfluid_tpu import grids
 from libfluid_tpu.config import CellType, SimConfig
+from libfluid_tpu.sim import multigrid
 
 
 class PoissonOperator(NamedTuple):
@@ -134,19 +135,32 @@ class PressureResult(NamedTuple):
     iterations: jnp.ndarray  # int32
 
 
-def _cg(op: PoissonOperator, b: jnp.ndarray, a_scale, tol, max_iters) -> PressureResult:
-    """Jacobi-preconditioned CG, matrix-free, fixed upper iteration bound.
+def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond) -> PressureResult:
+    """Preconditioned CG, matrix-free, fixed upper iteration bound.
 
     Mirrors the loop structure of ``pressure_solver::solve``
-    (``pressure_solver.cpp:19-71``) with M = diag(A); the early-out on tiny
-    ||b||^2 (< 1e-6, ``pressure_solver.cpp:33-35``) is folded into the loop
-    condition.
+    (``pressure_solver.cpp:19-71``) with the serial MIC(0) preconditioner
+    replaced by an order-free one: a geometric multigrid V-cycle
+    (:mod:`libfluid_tpu.sim.multigrid`) by default, diagonal as fallback.
+    The early-out on tiny ||b||^2 (< 1e-6, ``pressure_solver.cpp:33-35``) is
+    folded into the loop condition.
+
+    A = a_scale * A1 where A1 is the unit-scale finest-level operator, so
+    M^-1 = V(A1) / a_scale keeps the preconditioner consistent.
     """
-    inv_diag = jnp.where(op.diag > 0, 1.0 / jnp.maximum(op.diag * a_scale, 1e-30), 0.0)
+    lvl0 = levels[0]
+
+    def apply_M(r):
+        if precond == "mg":
+            return multigrid.v_cycle(levels, r) / a_scale
+        return lvl0.inv_diag / a_scale * r
+
+    def apply_A1(p):
+        return multigrid.apply_level(lvl0, p) * a_scale
 
     b2 = jnp.sum(b * b)
     r0 = b
-    z0 = inv_diag * r0
+    z0 = apply_M(r0)
     s0 = z0
     sigma0 = jnp.sum(z0 * r0)
     p0 = jnp.zeros_like(b)
@@ -160,13 +174,13 @@ def _cg(op: PoissonOperator, b: jnp.ndarray, a_scale, tol, max_iters) -> Pressur
 
     def body(carry):
         p, r, s, sigma, _, it = carry
-        z = apply_A(op, s, a_scale)
+        z = apply_A1(s)
         denom = jnp.sum(z * s)
         alpha = sigma / jnp.where(denom != 0.0, denom, 1.0)
         p = p + alpha * s
         r = r - alpha * z
         res = jnp.max(jnp.abs(r))
-        z = inv_diag * r
+        z = apply_M(r)
         sigma_new = jnp.sum(z * r)
         beta = sigma_new / jnp.where(sigma != 0.0, sigma, 1.0)
         s = z + beta * s
@@ -175,31 +189,33 @@ def _cg(op: PoissonOperator, b: jnp.ndarray, a_scale, tol, max_iters) -> Pressur
     p, r, _, _, res, iters = jax.lax.while_loop(
         cond, body, (p0, r0, s0, sigma0, jnp.where(nontrivial, res0, 0.0), jnp.int32(0))
     )
-    return PressureResult(pressure=p * op.fluid, residual=res, iterations=iters)
+    return PressureResult(pressure=p * lvl0.fluid, residual=res, iterations=iters)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def solve_pressure_system(op: PoissonOperator, b: jnp.ndarray, a_scale, tol, max_iters):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def solve_pressure_system(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond):
     """p = A^{-1} b (restricted to fluid cells), differentiable w.r.t. b.
 
-    The operator masks and a_scale are treated as constants of the solve (their
-    cotangents are zero): pixel/parameter gradients flow through b, which is a
-    differentiable function of the face velocities upstream.
+    Because A is symmetric, the adjoint of the solve is the same solve
+    (implicit function theorem): b_bar = A^{-1} p_bar — one extra CG in the
+    backward pass instead of differentiating the iteration. The operator
+    masks and a_scale are constants of the solve (zero cotangents): gradients
+    flow through b, a differentiable function of the face velocities.
     """
-    return _cg(op, b, a_scale, tol, max_iters)
+    return _cg(levels, b, a_scale, tol, max_iters, precond)
 
 
-def _solve_fwd(op, b, a_scale, tol, max_iters):
-    res = _cg(op, b, a_scale, tol, max_iters)
-    return res, (op, a_scale)
+def _solve_fwd(levels, b, a_scale, tol, max_iters, precond):
+    res = _cg(levels, b, a_scale, tol, max_iters, precond)
+    return res, (levels, a_scale)
 
 
-def _solve_bwd(tol, max_iters, saved, cotangent):
-    op, a_scale = saved
+def _solve_bwd(tol, max_iters, precond, saved, cotangent):
+    levels, a_scale = saved
     g = cotangent.pressure  # cotangents of residual/iterations are discarded
-    lam = _cg(op, g * op.fluid, a_scale, tol, max_iters).pressure
-    zero_op = jax.tree_util.tree_map(jnp.zeros_like, op)
-    return zero_op, lam, jnp.zeros_like(jnp.asarray(a_scale))
+    lam = _cg(levels, g * levels[0].fluid, a_scale, tol, max_iters, precond).pressure
+    zero_levels = jax.tree_util.tree_map(jnp.zeros_like, levels)
+    return zero_levels, lam, jnp.zeros_like(jnp.asarray(a_scale))
 
 
 solve_pressure_system.defvjp(_solve_fwd, _solve_bwd)
@@ -207,11 +223,16 @@ solve_pressure_system.defvjp(_solve_fwd, _solve_bwd)
 
 def solve(grid: grids.MacGrid, cfg: SimConfig, dt) -> PressureResult:
     """Assemble and solve the pressure system for the current grid state."""
-    op = build_operator(grid.cell_type, cfg.dtype)
+    levels = multigrid.build_levels(grid.cell_type, cfg.dtype)
     a_scale = dt / (cfg.density * cfg.cell_size * cfg.cell_size)
     b = compute_rhs(grid, cfg)
     return solve_pressure_system(
-        op, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations
+        levels,
+        b,
+        a_scale,
+        cfg.solver.tolerance,
+        cfg.solver.max_iterations,
+        cfg.solver.preconditioner,
     )
 
 

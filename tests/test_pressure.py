@@ -122,12 +122,16 @@ def test_pressure_vjp_is_adjoint_solve():
     cfg, grid = _setup(seed=4)
     dt = 0.015
     a_scale = dt / (cfg.density * cfg.cell_size**2)
+    from libfluid_tpu.sim import multigrid
+
+    levels = multigrid.build_levels(grid.cell_type)
     op = pressure.build_operator(grid.cell_type)
     b0 = pressure.compute_rhs(grid, cfg)
 
     def scalar(b):
         res = pressure.solve_pressure_system(
-            op, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations
+            levels, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations,
+            cfg.solver.preconditioner,
         )
         return jnp.sum(res.pressure**2)
 
