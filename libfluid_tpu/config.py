@@ -152,12 +152,13 @@ class RenderConfig:
     width: int = 256
     height: int = 256
     samples_per_pixel: int = 16
+    algorithm: str = "pt"  # "pt" (naive forward) or "bdpt"
     max_bounces: int = 5  # naive PT cap (ref path_tracer.h:21)
-    max_camera_bounces: int = 8  # BDPT camera subpath cap (ref bdpt.h:19; ref uses 15)
-    max_light_bounces: int = 8  # BDPT light subpath cap (ref bdpt.h:21)
+    max_camera_bounces: int = 6  # BDPT camera subpath cap (ref bdpt.h:19; ref uses 15)
+    max_light_bounces: int = 6  # BDPT light subpath cap (ref bdpt.h:21)
     ray_batch: int = 1 << 15  # rays traced per wavefront batch
 
     def __hash__(self):
         return hash((self.width, self.height, self.samples_per_pixel,
-                     self.max_bounces, self.max_camera_bounces,
+                     self.algorithm, self.max_bounces, self.max_camera_bounces,
                      self.max_light_bounces, self.ray_batch))

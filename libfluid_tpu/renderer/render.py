@@ -13,14 +13,19 @@ import jax
 import jax.numpy as jnp
 
 from libfluid_tpu.config import RenderConfig
+from libfluid_tpu.renderer import bdpt as bdpt_mod
 from libfluid_tpu.renderer.camera import Camera
-from libfluid_tpu.renderer.pathtrace import trace_rays
+from libfluid_tpu.renderer.pathtrace import trace_rays as trace_rays_pt
 from libfluid_tpu.renderer.scene import Scene
 
 
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, key) -> jnp.ndarray:
     """Render an (H, W, 3) radiance image with cfg.samples_per_pixel jittered
-    samples (``render_naive``, ``rendering.h:43-66``)."""
+    samples (``render_naive``, ``rendering.h:43-66``). ``cfg.algorithm``
+    picks the integrator, like the reference testbed's tracer switch."""
+    trace_rays = (
+        bdpt_mod.trace_rays if cfg.algorithm == "bdpt" else trace_rays_pt
+    )
     w, h = cfg.width, cfg.height
     px = jnp.arange(w, dtype=jnp.float32)
     py = jnp.arange(h, dtype=jnp.float32)
