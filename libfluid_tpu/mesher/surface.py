@@ -15,6 +15,8 @@ construction. The result is bit-for-bit the same weighted average.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from libfluid_tpu.config import MesherConfig
@@ -36,7 +38,7 @@ def sample_surface(
     ext2 = cfg.particle_extent * cfg.particle_extent
 
     # radius of the node neighborhood each particle touches, in cells
-    cr = max(int(jnp.ceil(cfg.particle_extent / h)), 1)
+    cr = max(math.ceil(cfg.particle_extent / h), 1)
 
     g = (position - off) / h
     base = jnp.floor(g).astype(jnp.int32)
