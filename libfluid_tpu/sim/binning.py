@@ -35,15 +35,19 @@ def bin_particles(position: jnp.ndarray, active: jnp.ndarray, cfg: SimConfig) ->
     cell = grids.flat_cell_index(idx3, cfg)
     cell = jnp.where(active, cell, num_cells)  # park inactive past the end
     order = jnp.argsort(cell)
-    sorted_cell = cell[order]
-    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(num_cells, dtype=sorted_cell.dtype))
     counts = jax.ops.segment_sum(
         jnp.ones_like(cell, jnp.int32), cell, num_segments=num_cells + 1
     )[:num_cells]
+    # start of each cell's run in `order` = exclusive prefix sum of counts
+    # (equivalent to searchsorted over the sorted keys, but one dense cumsum
+    # instead of 2M binary searches)
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]]
+    )
     return Binning(
         order=order,
         cell_of=cell,
-        cell_start=cell_start.astype(jnp.int32),
+        cell_start=cell_start,
         cell_count=counts,
         occupancy=counts.reshape(cfg.grid_size),
     )

@@ -157,19 +157,24 @@ def correct_positions(
         inv_dist = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
         spring_terms = (kernel * inv_dist)[..., None] * offset
 
-        # near-coincident pairs contribute a uniform random force in [-1,1]^3
-        # (ref simulation.cpp:585-589)
-        jitter = jax.random.uniform(
-            key_chunk, spring_terms.shape, cfg.dtype, minval=-1.0, maxval=1.0
-        )
-        spring_terms = jnp.where(degenerate[..., None], jitter, spring_terms)
         valid = (
             res_mask[:, :, None]
             & nbr_mask[:, None, :]
             & (res_ids[:, :, None] != nbr_ids[:, None, :])
         )
-        spring_terms = jnp.where(valid[..., None], spring_terms, 0.0)
-        return jnp.sum(spring_terms, axis=2), res_ids  # (C, K, 3), (C, K)
+        springs = jnp.sum(
+            jnp.where((valid & ~degenerate)[..., None], spring_terms, 0.0), axis=2
+        )
+        # Near-coincident pairs contribute a uniform random force in [-1,1]^3
+        # (ref simulation.cpp:585-589). One random vector per RESIDENT scaled
+        # by its coincident-pair count — not per pair: a (C, K, 27K, 3) random
+        # tensor is ~10^10 PRNG draws per step and dominates the whole pass.
+        jitter = jax.random.uniform(
+            key_chunk, res_pos.shape, cfg.dtype, minval=-1.0, maxval=1.0
+        )
+        deg_n = jnp.sum(valid & degenerate, axis=2).astype(cfg.dtype)  # (C, K)
+        springs = springs + deg_n[..., None] * jitter
+        return springs, res_ids  # (C, K, 3), (C, K)
 
     nchunk = (c_cap + chunk - 1) // chunk
     keys = jax.random.split(key, nchunk)

@@ -102,8 +102,9 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
 
     # --- sources + binning ---
     bins = binning_mod.bin_particles(state.position, state.active, cfg)
-    state = sources_mod.seed_sources(state, bins.occupancy, cfg)
-    bins = binning_mod.bin_particles(state.position, state.active, cfg)
+    if state.sources.cells.shape[0] > 0:  # static: re-bin only if seeding ran
+        state = sources_mod.seed_sources(state, bins.occupancy, cfg)
+        bins = binning_mod.bin_particles(state.position, state.active, cfg)
 
     # --- P2G + cell marking ---
     u, v, w = transfers.p2g(

@@ -18,11 +18,11 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from libfluid_tpu import grids
 from libfluid_tpu.config import SimConfig, TransferScheme
-from libfluid_tpu.math.interp import grad_hat
 
 _WEIGHT_EPS = 1e-6  # ref simulation.cpp:327 "magic number"
 
@@ -76,9 +76,13 @@ def _p2g_axis(
         else:
             val = value
         flat = (idx[..., 0] * shape[1] + idx[..., 1]) * shape[2] + idx[..., 2]
-        flat = jnp.clip(flat, 0, num.shape[0] - 1)
-        num = num.at[flat].add(w * val)
-        den = den.at[flat].add(w)
+        # Masked contributions are routed OUT of bounds and dropped, not
+        # clipped to a shared valid address: inactive particles all sit at the
+        # same position, and millions of zero-weight duplicates on one scatter
+        # address serialize the whole scatter on TPU (~100x slowdown).
+        flat = jnp.where(inb, flat, num.shape[0])
+        num = num.at[flat].add(w * val, mode="drop")
+        den = den.at[flat].add(w, mode="drop")
 
     face = jnp.where(den > _WEIGHT_EPS, num / jnp.maximum(den, _WEIGHT_EPS), 0.0)
     return face.reshape(tuple(shape))
@@ -113,33 +117,33 @@ def p2g(
     return tuple(out)
 
 
-def _g2p_axis(
-    arr: jnp.ndarray, position: jnp.ndarray, cfg: SimConfig, axis: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather one velocity component and its spatial gradient per particle.
+def _cell_offsets(axis: int):
+    """The 18 face offsets relative to a particle's CELL index: along the face
+    axis the staggered base equals the cell index (offsets {0,1}); along the
+    other two axes the base is cell or cell-1 (offsets {-1,0,1})."""
+    ranges = [(-1, 0, 1)] * 3
+    ranges[axis] = (0, 1)
+    return [
+        (dx, dy, dz) for dx in ranges[0] for dy in ranges[1] for dz in ranges[2]
+    ]
 
-    The gradient combination with :func:`grad_hat` reproduces the reference's
-    APIC c-vectors (``_calculate_c_vector``, ``simulation.cpp:507-546``):
-    c_axis = sum over the 8 staggered samples of grad_kernel * sample, i.e.
-    the world-space gradient of the trilerped component.
-    """
-    coords = grids.face_index_coords(position, cfg, axis)
-    base = jnp.floor(coords).astype(jnp.int32)
-    frac = coords - base
-    dims = jnp.asarray(arr.shape, jnp.int32)
 
-    val = jnp.zeros(position.shape[:-1], cfg.dtype)
-    grad = jnp.zeros_like(position)
-    for off in _OFFSETS:
-        offv = jnp.asarray(off, jnp.int32)
-        idx = base + offv
-        inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
-        cidx = jnp.clip(idx, 0, dims - 1)
-        sample = jnp.where(inb, arr[cidx[..., 0], cidx[..., 1], cidx[..., 2]], 0.0)
-        w = jnp.prod(jnp.where(jnp.asarray(off, bool), frac, 1.0 - frac), axis=-1)
-        val = val + w * sample
-        grad = grad + grad_hat(frac - offv.astype(cfg.dtype), cfg.cell_size) * sample[..., None]
-    return val, grad
+def _stacked_shifts(arr: jnp.ndarray, offsets, axis: int) -> jnp.ndarray:
+    """(num_cells, len(offsets)) table: column t holds arr[cell + offsets[t]]
+    with zero padding outside the face array (out-of-bounds face samples
+    contribute 0, like the reference's boundary clamp ``mac_grid.cpp:51-112``).
+    Static slices only — no gather."""
+    pads = [(1, 1)] * 3
+    pads[axis] = (0, 0)  # face-axis offsets {0,1} are always in bounds
+    padded = jnp.pad(arr, pads)
+    nx, ny, nz = [arr.shape[d] - (1 if d == axis else 0) for d in range(3)]
+    cols = []
+    for off in offsets:
+        start = [off[d] + (0 if d == axis else 1) for d in range(3)]
+        cols.append(
+            jax.lax.dynamic_slice(padded, start, (nx, ny, nz))
+        )
+    return jnp.stack(cols, axis=-1).reshape(nx * ny * nz, len(offsets))
 
 
 def g2p_pic(
@@ -147,14 +151,54 @@ def g2p_pic(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """PIC/APIC grid-to-particle: interpolated velocity and the APIC affine
     matrix (rows = gradients of each component). Reference
-    ``simulation.cpp:447-560``."""
+    ``simulation.cpp:447-560``.
+
+    TPU formulation: instead of 8 per-element gathers per axis (one gather
+    descriptor per sample — the dominant cost), each axis builds an 18-column
+    table of statically-shifted face arrays indexed by CELL id and issues ONE
+    row gather per particle (contiguous 72-byte rows); weights/gradients for
+    all 18 cell-relative offsets are evaluated on the VPU (zero for the 10
+    offsets outside the hat support). ~6x faster at 2M particles / 128^3.
+    """
+    cell3 = grids.cell_index_of(position, cfg)
+    dims = jnp.asarray(cfg.grid_size, jnp.int32)
+    cell3c = jnp.clip(cell3, 0, dims - 1)
+    # row index in the stacked tables' C-order (z-fastest) layout — NOT
+    # grids.flat_cell_index, which is x-fastest like the reference
+    _, ny, nz = cfg.grid_size
+    cell_flat = (cell3c[..., 0] * ny + cell3c[..., 1]) * nz + cell3c[..., 2]
+
     vals = []
-    rows = []
+    rows_out = []
     for axis, arr in enumerate((grid.u, grid.v, grid.w)):
-        val, grad = _g2p_axis(arr, position, cfg, axis)
-        vals.append(val)
-        rows.append(grad)
-    return jnp.stack(vals, axis=-1), jnp.stack(rows, axis=-2)
+        offsets = _cell_offsets(axis)
+        table = _stacked_shifts(arr, offsets, axis)  # (C, 18)
+        samples = table[cell_flat]  # (N, 18) one row gather
+        coords = grids.face_index_coords(position, cfg, axis)
+        f = cell3c[:, None, :] + jnp.asarray(offsets, jnp.int32)[None]  # (N,18,3)
+        d = coords[:, None, :] - f.astype(cfg.dtype)
+        n = jnp.maximum(1.0 - jnp.abs(d), 0.0)
+        w = jnp.prod(n, axis=-1)  # (N, 18)
+        vals.append(jnp.sum(w * samples, axis=-1))
+        # grad of the trilinear weight (reference _grad_kernel,
+        # simulation.cpp:215-224), with the derivative factor zeroed outside
+        # the support so far offsets contribute exactly 0. Support is the
+        # HALF-OPEN [-1, 1): the reference samples offsets {0,1} from
+        # floor(coords), so d = frac - off hits -1 (kink included one-sidedly)
+        # but never +1 — particles exactly on faces reproduce bit-for-bit.
+        s = jnp.where(
+            (d >= -1.0) & (d < 1.0), jnp.where(d > 0.0, -1.0, 1.0), 0.0
+        )
+        g = jnp.stack(
+            [
+                s[..., 0] * n[..., 1] * n[..., 2],
+                n[..., 0] * s[..., 1] * n[..., 2],
+                n[..., 0] * n[..., 1] * s[..., 2],
+            ],
+            axis=-1,
+        ) / cfg.cell_size  # (N, 18, 3)
+        rows_out.append(jnp.sum(g * samples[..., None], axis=1))
+    return jnp.stack(vals, axis=-1), jnp.stack(rows_out, axis=-2)
 
 
 def g2p_flip(
