@@ -35,6 +35,7 @@ def bench_sim():
         gravity=(0.0, -981.0, 0.0),
         particle_capacity=1 << 21,
         scheme=TransferScheme.APIC,
+        has_obstacles=False,  # dam break: domain walls only
     )
     state = new_state(cfg, jax.random.PRNGKey(0))
     state = seed_box(state, cfg, (1.0, 1.0, 1.0), (63.0, 63.0, 63.0))

@@ -80,7 +80,13 @@ class SimConfig:
     enable_position_correction: bool = True
     enable_collisions: bool = True
     collision_substeps: int = 8  # samples along the old->new segment
-    max_neighbors_per_cell: int = 16  # binning capacity for neighbor gathers
+    max_neighbors_per_cell: int = 16  # cell-slot capacity (P2G exactness bound)
+    correction_capacity: int = 8  # slots per cell joining the correction springs
+    # Static declaration that interior solid cells (obstacles) exist. When
+    # False, the collision pass skips the solid march entirely (the domain
+    # walls are handled by advection clamping + the skin push-out, which needs
+    # no solid lookups) — obstacle-free scenes pay nothing for obstacles.
+    has_obstacles: bool = True
 
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
 
@@ -125,7 +131,8 @@ class SimConfig:
              self.correction_stiffness, self.velocity_extrapolation_iterations,
              self.seeding_density, self.enable_position_correction,
              self.enable_collisions, self.collision_substeps,
-             self.max_neighbors_per_cell, self.solver, str(self.dtype)))
+             self.max_neighbors_per_cell, self.correction_capacity,
+             self.has_obstacles, self.solver, str(self.dtype)))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,17 +127,19 @@ def cell_index_of(pos: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
 
 
 def flat_cell_index(idx3: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
-    """(..., 3) int cell index -> flat raw index, x-fastest like the reference
-    (``grid.h:212-222``): raw = x + nx*(y + ny*z)."""
-    nx, ny, _ = cfg.grid_size
-    return idx3[..., 0] + nx * (idx3[..., 1] + ny * idx3[..., 2])
+    """(..., 3) int cell index -> flat raw index in C order (z fastest), so
+    ``flat.reshape(grid_size)[x, y, z]`` round-trips. (The reference flattens
+    x-fastest, ``grid.h:212-222`` — only internal consistency matters, and C
+    order matches every ``reshape(nx, ny, nz)`` in this package.)"""
+    _, ny, nz = cfg.grid_size
+    return (idx3[..., 0] * ny + idx3[..., 1]) * nz + idx3[..., 2]
 
 
 def unflatten_cell_index(raw: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
-    nx, ny, _ = cfg.grid_size
-    x = raw % nx
-    y = (raw // nx) % ny
-    z = raw // (nx * ny)
+    _, ny, nz = cfg.grid_size
+    z = raw % nz
+    y = (raw // nz) % ny
+    x = raw // (ny * nz)
     return jnp.stack([x, y, z], axis=-1)
 
 

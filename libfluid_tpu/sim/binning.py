@@ -53,6 +53,42 @@ def bin_particles(position: jnp.ndarray, active: jnp.ndarray, cfg: SimConfig) ->
     )
 
 
+def sort_by_cell(state, cfg: SimConfig):
+    """Bin and physically reorder the particle SoA arrays into cell order.
+
+    Replaces the reference's in-place ``std::sort`` of the particle vector
+    (``hash_particles``, ``simulation.cpp:266-291``) — and for the same
+    reason: every downstream neighborhood structure (the slot grid, overflow
+    compaction, per-cell runs) wants each cell's particles contiguous. One
+    (N, 16) row gather here makes the slot-grid scatter a sorted-unique
+    scatter and gives every later per-particle pass locality.
+
+    Returns (state, bins) where the state's particle arrays are permuted and
+    ``bins.order`` is the identity.
+    """
+    bins = bin_particles(state.position, state.active, cfg)
+    o = bins.order
+    n = o.shape[0]
+    # ONE (N, 16) row gather for all float payload (contiguous 64-byte rows),
+    # instead of four narrow gathers — the permuted arrays are then views.
+    # The same 16-column payload row is what the slot-grid scatter writes.
+    payload = jnp.concatenate(
+        [state.position, state.velocity, state.affine.reshape(n, 9)], axis=1
+    )[o]
+    cell_sorted = bins.cell_of[o]
+    state = state._replace(
+        position=payload[:, 0:3],
+        velocity=payload[:, 3:6],
+        affine=payload[:, 6:15].reshape(n, 3, 3),
+        # inactive particles were keyed to the sentinel cell, so the sorted
+        # active mask needs no gather of its own
+        active=cell_sorted < cfg.num_cells,
+    )
+    return state, bins._replace(
+        order=jnp.arange(n, dtype=o.dtype), cell_of=cell_sorted
+    )
+
+
 def gather_neighbors(
     binning: Binning,
     position: jnp.ndarray,

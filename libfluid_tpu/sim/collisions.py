@@ -41,6 +41,26 @@ def resolve_collisions(
     h = cfg.cell_size
     skin = cfg.boundary_skin_width
 
+    if not cfg.has_obstacles:
+        # No interior solid cells: the segment march can never hit (advection
+        # already clamps into the domain), and the skin push-out only engages
+        # against the six domain walls — pure arithmetic, no grid lookups.
+        # This is the common case (dam break, sphere drop, water wall) and
+        # avoids ~30M scattered solid-grid reads per step at 2M particles.
+        gpos = position - jnp.asarray(cfg.grid_offset, position.dtype)
+        cell_idx = jnp.floor(gpos / h).astype(jnp.int32)
+        dims = jnp.asarray(cfg.grid_size, jnp.int32)
+        cell_idx = jnp.clip(cell_idx, 0, dims - 1)
+        cell_pos = gpos - cell_idx.astype(position.dtype) * h
+        cell_skin_max = h - skin
+        neg_blocked = cell_idx == 0
+        pos_blocked = cell_idx + 1 >= dims
+        d = jnp.where((cell_pos < skin) & neg_blocked, skin - cell_pos, 0.0)
+        d = d + jnp.where(
+            (cell_pos > cell_skin_max) & pos_blocked, cell_skin_max - cell_pos, 0.0
+        )
+        return position + d
+
     # --- segment march: first solid sample wins ---
     ts = jnp.linspace(0.0, 1.0, s + 1, dtype=position.dtype)  # includes both ends
     # (N, s+1, 3) sample positions

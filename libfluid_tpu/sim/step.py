@@ -30,6 +30,7 @@ from libfluid_tpu.sim import collisions as collisions_mod
 from libfluid_tpu.sim import correction as correction_mod
 from libfluid_tpu.sim import extrapolation as extrapolation_mod
 from libfluid_tpu.sim import pressure as pressure_mod
+from libfluid_tpu.sim import slots as slots_mod
 from libfluid_tpu.sim import sources as sources_mod
 from libfluid_tpu.sim import transfers
 from libfluid_tpu.sim.state import SimState
@@ -48,6 +49,9 @@ class Diagnostics(NamedTuple):
     max_divergence: jnp.ndarray  # post-projection; should be ~0
     particle_count: jnp.ndarray
     substeps: jnp.ndarray
+    # particles past the per-cell slot capacity (max_neighbors_per_cell):
+    # excluded from transfers/correction; nonzero means capacity is too low
+    overflow_count: jnp.ndarray
 
 
 def cfl_dt(state: SimState, cfg: SimConfig) -> jnp.ndarray:
@@ -98,18 +102,26 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         )
         pos = jnp.where(state.active[:, None], pos, state.position)
         state = state._replace(position=pos)
-    old_position = state.position
 
-    # --- sources + binning ---
-    bins = binning_mod.bin_particles(state.position, state.active, cfg)
+    # --- sources + binning (physically sorts the particle SoA into cell
+    # order, like the reference's hash_particles sort, simulation.cpp:266) ---
+    state, bins = binning_mod.sort_by_cell(state, cfg)
     if state.sources.cells.shape[0] > 0:  # static: re-bin only if seeding ran
         state = sources_mod.seed_sources(state, bins.occupancy, cfg)
-        bins = binning_mod.bin_particles(state.position, state.active, cfg)
+        state, bins = binning_mod.sort_by_cell(state, cfg)
+    old_position = state.position
+
+    # --- dense cell-slot grid: the one scatter every neighborhood pass shares ---
+    slot_grid = slots_mod.build(
+        state.position,
+        state.velocity,
+        state.affine if cfg.scheme == TransferScheme.APIC else None,
+        bins,
+        cfg,
+    )
 
     # --- P2G + cell marking ---
-    u, v, w = transfers.p2g(
-        state.position, state.velocity, state.affine, state.active, cfg
-    )
+    u, v, w = transfers.p2g_slots(slot_grid, cfg)
     grid = state.grid._replace(u=u, v=v, w=w)
     grid = grids.mark_cells(grid, bins.occupancy)
     if cfg.scheme == TransferScheme.APIC:
@@ -132,7 +144,7 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
     if cfg.enable_position_correction:
         key, sub = jax.random.split(key)
         pos = correction_mod.correct_positions(
-            state.position, state.active, bins, cfg, dt, sub
+            state.position, state.active, slot_grid, cfg, dt, sub
         )
         state = state._replace(position=pos)
     if cfg.enable_collisions:
@@ -179,6 +191,7 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         ),
         particle_count=jnp.sum(state.active.astype(jnp.int32)),
         substeps=jnp.int32(1),
+        overflow_count=jnp.sum(slot_grid.overflow.astype(jnp.int32)),
     )
     return state, diag
 

@@ -146,6 +146,109 @@ def _stacked_shifts(arr: jnp.ndarray, offsets, axis: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1).reshape(nx * ny * nz, len(offsets))
 
 
+def _face_axes_of_offset(d):
+    """Axes whose staggered support includes cell-relative face offset d:
+    along the face axis the hat reaches faces {cell, cell+1} (offsets {0,1}),
+    along the other two axes {cell-1, cell, cell+1}. So axis a participates
+    iff d[a] != -1."""
+    return [a for a in range(3) if d[a] != -1]
+
+
+def _add_shifted_face(acc: jnp.ndarray, ctr: jnp.ndarray, d, axis: int) -> jnp.ndarray:
+    """acc[f] += ctr[c] for f = c + d, cropping f outside the face array.
+    Along `axis` the face array has one extra layer and d in {0,1} is always
+    in bounds; along the other axes d in {-1,0,1} crops one boundary layer."""
+    acc_sl, ctr_sl = [], []
+    for dim in range(3):
+        n = ctr.shape[dim]
+        if dim == axis:
+            acc_sl.append(slice(d[dim], n + d[dim]))
+            ctr_sl.append(slice(None))
+        elif d[dim] == -1:
+            acc_sl.append(slice(0, n - 1))
+            ctr_sl.append(slice(1, n))
+        elif d[dim] == 0:
+            acc_sl.append(slice(None))
+            ctr_sl.append(slice(None))
+        else:
+            acc_sl.append(slice(1, n))
+            ctr_sl.append(slice(0, n - 1))
+    return acc.at[tuple(acc_sl)].add(ctr[tuple(ctr_sl)])
+
+
+def p2g_slots(slot_grid, cfg: SimConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense particle-to-grid transfer from the cell-slot grid.
+
+    Same weighted average as :func:`p2g` (reference ``simulation.cpp:293-412``)
+    but with the scatter turned inside out: every face f = c + d accumulates
+    the kernel-weighted momentum of cell c's K slots for the 18 cell-relative
+    offsets d in its staggered support, as statically shifted dense adds — no
+    scatter at all. The 3 axes' offset sets are subsets of the 27-cell
+    neighborhood, so one loop over 27 offsets serves all axes. Overflow
+    particles (rank >= K) are excluded — the step diagnoses their count.
+    """
+    from libfluid_tpu.sim import slots as slots_mod
+
+    nx, ny, nz = cfg.grid_size
+    h = cfg.cell_size
+    use_affine = cfg.scheme == TransferScheme.APIC
+
+    pos = slot_grid.position  # (3, K, nx, ny, nz)
+    mask = slot_grid.mask  # (K, nx, ny, nz)
+    vel = slot_grid.velocity
+
+    # per-slot float face coordinates per axis: (p - offset)/h
+    gpos = (
+        pos - jnp.asarray(cfg.grid_offset, cfg.dtype).reshape(3, 1, 1, 1, 1)
+    ) / h
+
+    cell_iota = [
+        jax.lax.broadcasted_iota(jnp.int32, (1, nx, ny, nz), 1 + dim)
+        for dim in range(3)
+    ]
+
+    shapes = [(nx + 1, ny, nz), (nx, ny + 1, nz), (nx, ny, nz + 1)]
+    num = [jnp.zeros(s, cfg.dtype) for s in shapes]
+    den = [jnp.zeros(s, cfg.dtype) for s in shapes]
+
+    for d in slots_mod.NEIGHBOR_OFFSETS:
+        for axis in _face_axes_of_offset(d):
+            shift = [0.5, 0.5, 0.5]
+            shift[axis] = 0.0
+            # hat weight per slot against face f = c + d
+            w = mask
+            for dim in range(3):
+                t = (
+                    gpos[dim]
+                    - jnp.asarray(shift[dim], cfg.dtype)
+                    - (cell_iota[dim] + d[dim]).astype(cfg.dtype)
+                )
+                w = w * jnp.maximum(1.0 - jnp.abs(t), 0.0)
+            val = vel[axis]
+            if use_affine:
+                # + affine_row . (x_face - x_p)  (ref simulation.cpp:376-385)
+                arow = slot_grid.affine_row(axis)
+                for dim in range(3):
+                    face_dim = (
+                        (cell_iota[dim] + d[dim]).astype(cfg.dtype)
+                        + jnp.asarray(shift[dim], cfg.dtype)
+                    ) * h + jnp.asarray(cfg.grid_offset[dim], cfg.dtype)
+                    val = val + arow[dim] * (face_dim - pos[dim])
+            num[axis] = _add_shifted_face(num[axis], jnp.sum(w * val, axis=0), d, axis)
+            den[axis] = _add_shifted_face(den[axis], jnp.sum(w, axis=0), d, axis)
+
+    out = []
+    for axis in range(3):
+        out.append(
+            jnp.where(
+                den[axis] > _WEIGHT_EPS,
+                num[axis] / jnp.maximum(den[axis], _WEIGHT_EPS),
+                0.0,
+            )
+        )
+    return tuple(out)
+
+
 def g2p_pic(
     grid: grids.MacGrid, position: jnp.ndarray, cfg: SimConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -163,10 +266,7 @@ def g2p_pic(
     cell3 = grids.cell_index_of(position, cfg)
     dims = jnp.asarray(cfg.grid_size, jnp.int32)
     cell3c = jnp.clip(cell3, 0, dims - 1)
-    # row index in the stacked tables' C-order (z-fastest) layout — NOT
-    # grids.flat_cell_index, which is x-fastest like the reference
-    _, ny, nz = cfg.grid_size
-    cell_flat = (cell3c[..., 0] * ny + cell3c[..., 1]) * nz + cell3c[..., 2]
+    cell_flat = grids.flat_cell_index(cell3c, cfg)  # C order = table row order
 
     vals = []
     rows_out = []
