@@ -129,10 +129,16 @@ def _cell_offsets(axis: int):
 
 
 def _stacked_shifts(arr: jnp.ndarray, offsets, axis: int) -> jnp.ndarray:
-    """(num_cells, len(offsets)) table: column t holds arr[cell + offsets[t]]
+    """(len(offsets), num_cells) table: row t holds arr[cell + offsets[t]]
     with zero padding outside the face array (out-of-bounds face samples
     contribute 0, like the reference's boundary clamp ``mac_grid.cpp:51-112``).
-    Static slices only — no gather."""
+    Static slices only — no gather.
+
+    Layout is load-bearing: stacking on a NEW MAJOR axis keeps the grid dims
+    minor, so every slice tiles T(8,128) with no padding. Stacking on a minor
+    axis (the round-1 bug) materialized each slice as f32[C,1] padded 128x —
+    ~20 GB of HLO temps at 128^3 (BENCH_r01). The single (54, C) -> (C, 54)
+    transpose happens once, downstream, where XLA tiles it efficiently."""
     pads = [(1, 1)] * 3
     pads[axis] = (0, 0)  # face-axis offsets {0,1} are always in bounds
     padded = jnp.pad(arr, pads)
@@ -143,7 +149,40 @@ def _stacked_shifts(arr: jnp.ndarray, offsets, axis: int) -> jnp.ndarray:
         cols.append(
             jax.lax.dynamic_slice(padded, start, (nx, ny, nz))
         )
-    return jnp.stack(cols, axis=-1).reshape(nx * ny * nz, len(offsets))
+    return jnp.stack(cols, axis=0).reshape(len(offsets), nx * ny * nz)
+
+
+def _transpose_major(table: jnp.ndarray) -> jnp.ndarray:
+    """(R, C) -> (C, R) as an explicit tiled Pallas transpose (TPU only).
+
+    Exists purely to pin layouts: both operand and result get their natural
+    row-major tiling, so neither the upstream concatenate nor the downstream
+    row gather can force a padded layout onto the other. On CPU (tests) the
+    plain transpose is fine."""
+    if jax.default_backend() != "tpu":
+        return table.T
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, c = table.shape
+    tile = 8192
+    if c % tile != 0:  # small grids: temps are small, XLA's choice is fine
+        return table.T
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = in_ref[:].T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(c // tile,),
+        in_specs=[
+            pl.BlockSpec((r, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, r), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, r), table.dtype),
+    )(table)
 
 
 def _face_axes_of_offset(d):
@@ -274,11 +313,17 @@ def g2p_pic(
     tables = [
         _stacked_shifts(arr, _cell_offsets(axis), axis)
         for axis, arr in enumerate((grid.u, grid.v, grid.w))
-    ]  # 3 x (C, 18)
-    num_cells = tables[0].shape[0]
+    ]  # 3 x (18, C)
+    num_cells = tables[0].shape[1]
     table = jnp.concatenate(
-        tables + [jnp.zeros((num_cells, 64 - 54), cfg.dtype)], axis=1
-    )  # (C, 64)
+        tables + [jnp.zeros((64 - 54, num_cells), cfg.dtype)], axis=0
+    )  # (64, C) — grid dim minor, zero tile padding
+    # ONE (64, C) -> (C, 64) transpose, forced into a Pallas kernel so the
+    # (64, C) operand keeps its natural layout. Left to XLA, layout
+    # assignment bitcasts the transpose and pushes the layout change up into
+    # the concatenate, copying every slice as f32[1,C] with 128x lane padding
+    # (~20 GB of HLO temps at 128^3 — the round-1 OOM, BENCH_r01).
+    table = _transpose_major(table)  # (C, 64); rows 256B-aligned
     samples_all = table[cell_flat]  # (N, 64) ONE aligned row gather
 
     vals = []
