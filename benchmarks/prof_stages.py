@@ -1,0 +1,44 @@
+"""Per-stage wall-clock breakdown of the 128^3 APIC substep (host-synced)."""
+import sys, jax, jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/benchmarks")
+from timing import timeit
+
+from libfluid_tpu.config import SimConfig, TransferScheme
+from libfluid_tpu.sim import new_state, seed_box, substep
+from libfluid_tpu.sim import binning as binning_mod, slots as slots_mod
+from libfluid_tpu.sim import transfers, pressure as pressure_mod
+from libfluid_tpu.sim import correction as correction_mod, collisions as collisions_mod
+from libfluid_tpu.sim import extrapolation as extrapolation_mod
+from libfluid_tpu import grids
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+cfg = SimConfig(grid_size=(N,N,N), gravity=(0.,-981.,0.),
+                particle_capacity=1<<21 if N>=128 else 1<<18,
+                scheme=TransferScheme.APIC, has_obstacles=False)
+state = new_state(cfg, jax.random.PRNGKey(0))
+state = seed_box(state, cfg, (1.,1.,1.), (N//2-1.,)*3)
+dt = 0.02
+fn = jax.jit(lambda s: substep(s, cfg, dt)[0])
+state = fn(state)
+state = fn(state)
+
+def bench(name, f, *args):
+    g = jax.jit(f)
+    dt_wall, out = timeit(g, *args)
+    print(f"{name:22s} {dt_wall*1e3:8.1f} ms", flush=True)
+    return out
+
+state2, bins = bench("sort_by_cell", lambda s: binning_mod.sort_by_cell(s, cfg), state)
+slot_grid = bench("slots.build", lambda s, b: slots_mod.build(s.position, s.velocity, s.affine, b, cfg), state2, bins)
+uvw = bench("p2g_slots", lambda sg: transfers.p2g_slots(sg, cfg), slot_grid)
+grid = state2.grid._replace(u=uvw[0], v=uvw[1], w=uvw[2])
+grid = grids.mark_cells(grid, bins.occupancy)
+pres = bench("pressure.solve", lambda g: pressure_mod.solve(g, cfg, dt), grid)
+bench("apply_pressure", lambda g, p: pressure_mod.apply_pressure(g, p, cfg, dt), grid, pres.pressure)
+key = jax.random.PRNGKey(1)
+bench("correction", lambda s, sg: correction_mod.correct_positions(s.position, s.active, sg, cfg, dt, key), state2, slot_grid)
+bench("collisions", lambda s: collisions_mod.resolve_collisions(s.position, s.position + 0.1, s.solid, cfg), state2)
+grid2 = bench("extrapolate", lambda g: extrapolation_mod.extrapolate(g, cfg), grid)
+bench("g2p_pic", lambda g, s: transfers.g2p_pic(g, s.position, cfg), grid2, state2)
+bench("FULL substep", lambda s: substep(s, cfg, dt)[0], state)

@@ -79,10 +79,14 @@ class SimConfig:
 
     enable_position_correction: bool = True
     enable_collisions: bool = True
-    collision_substeps: int = 8  # samples along the old->new segment
-    max_neighbors_per_cell: int = 12  # cell-slot capacity (P2G exactness bound;
-    # default seeding is 8/cell — 12 leaves headroom for transient compression
-    # while keeping the dense slot passes 25% leaner than 16)
+    max_neighbors_per_cell: int = 16  # cell-slot capacity; particles past
+    # it ("overflow") are completed by a compacted scatter pass in p2g_slots
+    p2g_overflow_capacity: int = 4096  # compaction buffer for that pass.
+    # Dam-break impacts transiently pile ~5% of particles past 16/cell; up to
+    # this many are merged exactly. Beyond it the face average degrades to a
+    # subsample mean in hyper-compressed cells (faces average their first K
+    # particles) — a bounded estimator approximation, not a mass leak, since
+    # P2G normalizes by total weight. Diagnostics.overflow_count reports it.
     correction_capacity: int = 8  # slots per cell joining the correction springs
     # Static declaration that interior solid cells (obstacles) exist. When
     # False, the collision pass skips the solid march entirely (the domain
@@ -132,8 +136,9 @@ class SimConfig:
              self.cfl_number, self.density, self.boundary_skin_width,
              self.correction_stiffness, self.velocity_extrapolation_iterations,
              self.seeding_density, self.enable_position_correction,
-             self.enable_collisions, self.collision_substeps,
+             self.enable_collisions,
              self.max_neighbors_per_cell, self.correction_capacity,
+             self.p2g_overflow_capacity,
              self.has_obstacles, self.solver, str(self.dtype)))
 
 

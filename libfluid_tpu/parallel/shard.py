@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from libfluid_tpu.config import RenderConfig, SimConfig
-from libfluid_tpu.parallel.mesh import particle_sharding, replicated
+from libfluid_tpu.parallel.mesh import grid_sharding_z, particle_sharding, replicated
 from libfluid_tpu.renderer.camera import Camera
 from libfluid_tpu.renderer.pathtrace import trace_rays
 from libfluid_tpu.renderer.scene import Scene
@@ -33,21 +33,48 @@ from libfluid_tpu.sim.state import SimState
 from libfluid_tpu.sim.step import substep
 
 
-def shard_sim_state(state: SimState, mesh: Mesh) -> SimState:
-    """Place particle arrays sharded over 'dp', everything else replicated."""
+def shard_sim_state(
+    state: SimState, mesh: Mesh, shard_grid: bool | None = None
+) -> SimState:
+    """Place particle arrays sharded over 'dp' and — when the grid is tall
+    enough — the grid/solid arrays z-sharded over the same axis.
+
+    With a z-sharded grid, GSPMD turns every pressure/extrapolation stencil
+    into halo exchanges (``lax.ppermute`` on ICI) and the CG dot products
+    into ``psum``s — the SP/CP slot of SURVEY §5 driven end-to-end through
+    the production substep rather than the replicated-grid fallback. The
+    hand-written shard_map kernels in :mod:`libfluid_tpu.parallel.halo`
+    remain the explicit-layout reference implementation for the same math.
+    """
     psh = particle_sharding(mesh)
     rep = replicated(mesh)
+    ndev = mesh.devices.size
+    nz = state.grid.u.shape[2]
+    ny = state.grid.u.shape[1]
+    if shard_grid is None:
+        # z tiles thinner than ~4 cells spend more on halos than stencils
+        shard_grid = ndev > 1 and nz >= 4 * ndev and ny >= ndev
+    if shard_grid:
+        gsh = grid_sharding_z(mesh)
+        # the z-face array has nz+1 layers (indivisible); it rides sharded
+        # along y instead — GSPMD reshards it where stencils mix axes
+        wsh = NamedSharding(mesh, P(None, "dp", None))
+    else:
+        gsh = wsh = rep
 
-    def place(path_leaf, leaf):
-        return jax.device_put(leaf, path_leaf)
-
+    grid = state.grid._replace(
+        u=jax.device_put(state.grid.u, gsh),
+        v=jax.device_put(state.grid.v, gsh),
+        w=jax.device_put(state.grid.w, wsh),
+        cell_type=jax.device_put(state.grid.cell_type, gsh),
+    )
     return SimState(
         position=jax.device_put(state.position, psh),
         velocity=jax.device_put(state.velocity, psh),
         affine=jax.device_put(state.affine, psh),
         active=jax.device_put(state.active, psh),
-        grid=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.grid),
-        solid=jax.device_put(state.solid, rep),
+        grid=grid,
+        solid=jax.device_put(state.solid, gsh),
         sources=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.sources),
         key=jax.device_put(state.key, rep),
         time=jax.device_put(state.time, rep),
@@ -55,8 +82,9 @@ def shard_sim_state(state: SimState, mesh: Mesh) -> SimState:
 
 
 def sharded_substep(state: SimState, cfg: SimConfig, dt, mesh: Mesh):
-    """jit-compiled substep whose particle work is 'dp'-sharded. GSPMD
-    propagates the input shardings through the whole step."""
+    """jit-compiled substep whose particle work is 'dp'-sharded and whose
+    grid work (pressure V-cycle/CG stencils, extrapolation, face updates) is
+    z-sharded. GSPMD propagates the input shardings through the whole step."""
     fn = jax.jit(lambda s: substep(s, cfg, dt))
     return fn(shard_sim_state(state, mesh))
 

@@ -53,6 +53,7 @@ class Subpath(NamedTuple):
     normal: jnp.ndarray  # (D, R, 3) unit geometric normal
     wo: jnp.ndarray  # (D, R, 3) unit direction toward the predecessor
     mat_id: jnp.ndarray  # (D, R)
+    uv: jnp.ndarray  # (D, R, 2) surface uv (textured channels)
     valid: jnp.ndarray  # (D, R)
     delta: jnp.ndarray  # (D, R) bsdf at this vertex is specular
     beta: jnp.ndarray  # (D, R, 3) throughput arriving at this vertex
@@ -116,7 +117,7 @@ def trace_subpath(
         frame = intersect.tangent_frame(rec.normal)
         win = _tangent(frame, -d)
         xi = jax.random.uniform(k, (r, 2), dtype)
-        samp = materials.sample_bsdf(scene.materials, rec.mat_id, win, xi, mode)
+        samp = materials.sample_bsdf(scene.materials, rec.mat_id, win, xi, mode, uv=rec.uv)
         new_d = _from_tangent(frame, samp.direction)
 
         # reverse pdf of the *previous* vertex: this vertex's bsdf sampling
@@ -141,6 +142,7 @@ def trace_subpath(
             normal=rec.normal,
             wo=-d,
             mat_id=jnp.where(valid, rec.mat_id, 0),
+            uv=rec.uv,
             valid=valid,
             delta=samp.is_delta & valid,
             beta=beta,
@@ -174,6 +176,7 @@ def trace_subpath(
         normal=out["normal"],
         wo=out["wo"],
         mat_id=out["mat_id"],
+        uv=out["uv"],
         valid=out["valid"],
         delta=out["delta"],
         beta=out["beta"],
@@ -189,6 +192,7 @@ class LightSample(NamedTuple):
     emission: jnp.ndarray  # (R, 3)
     pdf_area: jnp.ndarray  # (R,)
     valid: jnp.ndarray  # (R,)
+    uv: jnp.ndarray  # (R, 2) barycentric uv of the sampled point
 
 
 def sample_light_point(scene: Scene, key, r: int, dtype=jnp.float32) -> LightSample:
@@ -213,12 +217,14 @@ def sample_light_point(scene: Scene, key, r: int, dtype=jnp.float32) -> LightSam
         + scene.tri_e1[tri] * b1[:, None]
         + scene.tri_e2[tri] * b2[:, None]
     )
+    uv = jnp.stack([b1, b2], axis=-1)
     return LightSample(
         pos=p,
         normal=scene.tri_normal[tri],
-        emission=scene.materials.emission[scene.tri_mat[tri]],
+        emission=materials.emission_at(scene.materials, scene.tri_mat[tri], uv),
         pdf_area=jnp.full((r,), 1.0, dtype) / jnp.maximum(total, 1e-30),
         valid=jnp.broadcast_to(total > 0.0, (r,)),
+        uv=uv,
     )
 
 
@@ -329,7 +335,7 @@ def trace_rays(
     dtype = origins.dtype
     t_depth = cfg.max_camera_bounces
     s_depth = cfg.max_light_bounces
-    k_cam, k_l0, k_ldir, k_lpath = jax.random.split(key, 4)
+    k_cam, k_l0, k_ldir, k_lpath, k_s1 = jax.random.split(key, 5)
 
     # --- camera subpath ------------------------------------------------------
     d0n = directions / jnp.maximum(
@@ -381,7 +387,7 @@ def trace_rays(
 
     # ========== s = 0: camera path hits an emitter (ref :319-326) ==========
     for i in range(t_depth):
-        emis = materials.emission_of(scene.materials, cam.mat_id[i])
+        emis = materials.emission_at(scene.materials, cam.mat_id[i], cam.uv[i])
         is_emitter = jnp.max(emis, axis=-1) > 0.0
         front = jnp.sum(cam.normal[i] * cam.wo[i], axis=-1) > 0.0
         ok = cam.valid[i] & is_emitter & front
@@ -402,26 +408,48 @@ def trace_rays(
         radiance = radiance + jnp.where(ok[:, None], w[:, None] * contrib, 0.0)
 
     # ========== s >= 1, t >= 2 connections (ref :328-383) ===================
+    # s=1 draws a FRESH light point per camera vertex, like the reference
+    # (bidirectional_path_tracer.cpp:328-341) — reusing the light-subpath
+    # origin is unbiased but correlates the s=1 strategies of one sample.
+    # With area-weighted light picking the point pdf is the constant
+    # 1/total_area, so the MIS chain's y0 entry needs no substitution.
+    y1 = [
+        sample_light_point(scene, jax.random.fold_in(k_s1, i), r, dtype)
+        for i in range(t_depth)
+    ]
     pairs: List[Tuple[int, int]] = []
     for i in range(t_depth):
         for j in range(s_depth):
             pairs.append((i, j))  # j is the MIS light index (y_j)
 
-    def light_pos(j):
-        return y0.pos if j == 0 else lig.pos[j - 1]
+    def light_pos(j, i):
+        return y1[i].pos if j == 0 else lig.pos[j - 1]
 
-    # visibility for every connection: lax.map over the pair axis keeps each
-    # cast a dense (R,)-wavefront without materializing P*R rays at once
+    # visibility for every connection, batched into large wavefronts: with a
+    # ray accelerator, wall-clock scales with total rays rather than with the
+    # number of (s, t) strategies (the reference serializes these casts per
+    # sample, bidirectional_path_tracer.cpp:357-383; round 1 serialized them
+    # per strategy via lax.map)
     p1 = jnp.stack([cam.pos[i] for i, _ in pairs], axis=0)
-    p2 = jnp.stack([light_pos(j) for _, j in pairs], axis=0)
-    vis = jax.lax.map(
-        lambda ab: intersect.test_visibility(scene, ab[0], ab[1]), (p1, p2)
-    )
+    p2 = jnp.stack([light_pos(j, i) for i, j in pairs], axis=0)
+    npairs = len(pairs)
+    group = max(1, min(npairs, (1 << 18) // max(r, 1)))
+    vis_chunks = []
+    for g0 in range(0, npairs, group):
+        g = min(group, npairs - g0)
+        v = intersect.test_visibility(
+            scene,
+            p1[g0 : g0 + g].reshape(g * r, 3),
+            p2[g0 : g0 + g].reshape(g * r, 3),
+        )
+        vis_chunks.append(v.reshape(g, r))
+    vis = jnp.concatenate(vis_chunks, axis=0)
 
     for pi, (i, j) in enumerate(pairs):
         xc = cam.pos[i]
         if j == 0:
-            yl, nl, vall, dl = y0.pos, y0.normal, y0.valid, jnp.zeros((r,), bool)
+            yl, nl, vall = y1[i].pos, y1[i].normal, y1[i].valid
+            dl = jnp.zeros((r,), bool)
         else:
             yl, nl = lig.pos[j - 1], lig.normal[j - 1]
             vall, dl = lig.valid[j - 1], lig.delta[j - 1]
@@ -437,7 +465,7 @@ def trace_rays(
         frame_c = intersect.tangent_frame(cam.normal[i])
         win_c = _tangent(frame_c, cam.wo[i])
         wout_c = _tangent(frame_c, d_cl)
-        f_c = materials.eval_bsdf(scene.materials, cam.mat_id[i], win_c, wout_c)
+        f_c = materials.eval_bsdf(scene.materials, cam.mat_id[i], win_c, wout_c, uv=cam.uv[i])
         pdf_c_fwd = materials.pdf_bsdf(scene.materials, cam.mat_id[i], win_c, wout_c)
         pdf_c_back = materials.pdf_bsdf(scene.materials, cam.mat_id[i], wout_c, win_c)
         if i >= 1:
@@ -452,7 +480,8 @@ def trace_rays(
         if j == 0:
             # s=1: connect to the emitter itself; one-sided cosine emission
             emit_ok = cos_l > 0.0
-            contrib = cam.beta[i] * f_c * (geom * emit_ok)[:, None] * beta_y0
+            beta_y1 = y1[i].emission / y1[i].pdf_area[:, None]
+            contrib = cam.beta[i] * f_c * (geom * emit_ok)[:, None] * beta_y1
             rev_cam_last = _to_area(jnp.maximum(cos_l, 0.0) / jnp.pi, cos_c, d2)
             rev_lig_prev = None
         else:
@@ -460,7 +489,8 @@ def trace_rays(
             win_l = _tangent(frame_l, lig.wo[j - 1])
             wout_l = _tangent(frame_l, -d_cl)
             f_l = materials.eval_bsdf(
-                scene.materials, lig.mat_id[j - 1], win_l, wout_l
+                scene.materials, lig.mat_id[j - 1], win_l, wout_l,
+                uv=lig.uv[j - 1],
             )
             pdf_l_fwd = materials.pdf_bsdf(
                 scene.materials, lig.mat_id[j - 1], win_l, wout_l

@@ -53,9 +53,8 @@ def _tri_chunks(scene: Scene):
     )
 
 
-def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_BIG) -> HitRecord:
-    """Nearest hit for a batch of rays; directions need not be normalized
-    (t is in units of |direction|, like the reference's ray_cast)."""
+def _brute_force_tris(scene: Scene, origin, direction, t_max):
+    """Chunked all-triangles scan (the reference-scale path)."""
     r = origin.shape[0]
     p0c, e1c, e2c, nchunk = _tri_chunks(scene)
 
@@ -89,6 +88,31 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
     (tri_t, tri_id, tri_u, tri_v), _ = jax.lax.scan(
         chunk_body, init, (p0c, e1c, e2c, bases)
     )
+    return tri_t, tri_id, tri_u, tri_v
+
+
+def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_BIG) -> HitRecord:
+    """Nearest hit for a batch of rays; directions need not be normalized
+    (t is in units of |direction|, like the reference's ray_cast).
+
+    With ``scene.accel`` set (see :mod:`libfluid_tpu.renderer.accel`) the
+    triangle search runs the uniform-grid DDA; otherwise the chunked
+    brute-force scan below (fine for the canned few-triangle scenes)."""
+    r = origin.shape[0]
+    if scene.accel is not None:
+        from libfluid_tpu.renderer import accel as accel_mod
+
+        tri_t, tri_id, tri_u, tri_v = accel_mod.traverse(
+            scene.accel,
+            accel_mod.pack_tris(scene),
+            origin,
+            direction,
+            jnp.asarray(t_max, origin.dtype),
+        )
+    else:
+        tri_t, tri_id, tri_u, tri_v = _brute_force_tris(
+            scene, origin, direction, t_max
+        )
 
     # spheres: transform to local, hit unit sphere (primitive.cpp:59-135)
     stl = scene.sph_to_local  # (S, 3, 4)

@@ -39,12 +39,80 @@ _PI = jnp.pi
 
 class MaterialTable(NamedTuple):
     """Flat material parameters; index 0 is reserved for the "null" material
-    (black lambertian, no emission) used by padding primitives."""
+    (black lambertian, no emission) used by padding primitives.
+
+    Texture support mirrors the reference's ``channel<T>`` = optional texture
+    x modulation (``material.h:18-29``): per material an albedo/emission
+    texture id into one stacked texture array; id 0 is a 1x1 white texel, so
+    "no texture" needs no branch — the channel value is always
+    ``modulation * sample(texture, uv)``.
+    """
 
     kind: jnp.ndarray  # (M,) int32
     albedo: jnp.ndarray  # (M, 3) reflectance / transmission skin modulation
     ior: jnp.ndarray  # (M,)
     emission: jnp.ndarray  # (M, 3)
+    albedo_tex: jnp.ndarray = None  # (M,) int32, 0 = untextured
+    emission_tex: jnp.ndarray = None  # (M,) int32
+    textures: jnp.ndarray = None  # (NT, TH, TW, 3); texture 0 = white
+    tex_hw: jnp.ndarray = None  # (NT, 2) int32 true (h, w) per texture
+
+
+def default_textures(dtype=jnp.float32):
+    """The trivial texture set: one white texel."""
+    return (
+        jnp.ones((1, 1, 1, 3), dtype),
+        jnp.ones((1, 2), jnp.int32),
+    )
+
+
+def sample_texture(textures, tex_hw, tex_id, uv):
+    """Bilinear texture sample, matching ``image::sample`` semantics
+    (``common.h:38-64``): uv wraps, texel centers at (i+0.5)/n, edge clamp.
+    `tex_id` (...,) int32, `uv` (..., 2) with u = x (width), v = y (height).
+    Differentiable w.r.t. texel values."""
+    hw = tex_hw[tex_id].astype(uv.dtype)  # (..., 2) true (h, w)
+    size = jnp.stack([hw[..., 1], hw[..., 0]], axis=-1)  # (w, h) in uv order
+    uvw = uv - jnp.floor(uv)  # wrap (common.h:41)
+    p = uvw * size + 0.5
+    ip = jnp.floor(p)
+    frac = p - ip
+    tl = jnp.maximum(ip - 1.0, 0.0).astype(jnp.int32)
+    br = jnp.minimum(ip, size - 1.0).astype(jnp.int32)
+    x0, y0 = tl[..., 0], tl[..., 1]
+    x1, y1 = br[..., 0], br[..., 1]
+    # texel fetch: one (..., 3)-row gather per corner (x = width index)
+    def at(yy, xx):
+        return textures[tex_id, yy, xx]
+
+    p_tl = at(y0, x0)
+    p_tr = at(y0, x1)
+    p_bl = at(y1, x0)
+    p_br = at(y1, x1)
+    fx = frac[..., 0:1]
+    fy = frac[..., 1:2]
+    top = p_tl + (p_tr - p_tl) * fx
+    bot = p_bl + (p_br - p_bl) * fx
+    return top + (bot - top) * fy
+
+
+def _channel(table: MaterialTable, base, tex_ids, mat_id, uv):
+    if uv is None or table.textures is None or table.textures.shape[0] <= 1:
+        return base
+    return base * sample_texture(
+        table.textures, table.tex_hw, tex_ids[mat_id], uv
+    )
+
+
+def albedo_at(table: MaterialTable, mat_id, uv=None):
+    """channel::get_value for the albedo (``material.h:22-28``)."""
+    return _channel(table, table.albedo[mat_id], table.albedo_tex, mat_id, uv)
+
+
+def emission_at(table: MaterialTable, mat_id, uv=None):
+    return _channel(
+        table, table.emission[mat_id], table.emission_tex, mat_id, uv
+    )
 
 
 class BsdfSample(NamedTuple):
@@ -76,11 +144,13 @@ def sample_bsdf(
     win: jnp.ndarray,
     xi: jnp.ndarray,
     mode: int = RADIANCE,
+    uv: jnp.ndarray = None,
 ) -> BsdfSample:
     """Sample an outgoing direction per ray; `win` (..., 3) tangent-space
-    incoming direction (pointing away from the surface), `xi` (..., 2)."""
+    incoming direction (pointing away from the surface), `xi` (..., 2).
+    `uv` enables textured albedo (``material.h:18-29``)."""
     kind = table.kind[mat_id]
-    albedo = table.albedo[mat_id]
+    albedo = albedo_at(table, mat_id, uv)
     ior = table.ior[mat_id]
     cos_in_sgn = win[..., 1]
     abs_cos_in = jnp.maximum(jnp.abs(cos_in_sgn), 1e-8)
@@ -139,10 +209,10 @@ def sample_bsdf(
     )
 
 
-def eval_bsdf(table: MaterialTable, mat_id, win, wout):
+def eval_bsdf(table: MaterialTable, mat_id, win, wout, uv=None):
     """f(in, out) — nonzero only for non-delta BSDFs (``bsdf.cpp:12-14``)."""
     kind = table.kind[mat_id]
-    albedo = table.albedo[mat_id]
+    albedo = albedo_at(table, mat_id, uv)
     same_side = win[..., 1] * wout[..., 1] > 0.0
     f_lam = jnp.where(same_side[..., None], albedo / _PI, 0.0)
     return jnp.where((kind == LAMBERTIAN)[..., None], f_lam, 0.0)

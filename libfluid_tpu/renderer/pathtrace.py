@@ -43,7 +43,7 @@ def trace_rays(
         rec = intersect.ray_cast(scene, o, d)
         live_hit = alive & rec.hit
 
-        emis = materials.emission_of(scene.materials, rec.mat_id)
+        emis = materials.emission_at(scene.materials, rec.mat_id, rec.uv)
         radiance = radiance + jnp.where(
             live_hit[:, None], throughput * emis, 0.0
         )
@@ -51,7 +51,7 @@ def trace_rays(
         frame = intersect.tangent_frame(rec.normal)  # world -> tangent
         win = jnp.einsum("rij,rj->ri", frame, -d)
         xi = jax.random.uniform(k, (r, 2), o.dtype)
-        samp = materials.sample_bsdf(scene.materials, rec.mat_id, win, xi)
+        samp = materials.sample_bsdf(scene.materials, rec.mat_id, win, xi, uv=rec.uv)
         atten = samp.reflectance * (
             jnp.abs(samp.direction[..., 1]) / jnp.maximum(samp.pdf, 1e-12)
         )[..., None]

@@ -38,6 +38,9 @@ class Scene(NamedTuple):
     light_tri: jnp.ndarray  # (L,) int32 indices into the triangle arrays
     light_area: jnp.ndarray  # (L,)
     light_mask: jnp.ndarray  # (L,) bool — valid entries (static capacity)
+    # optional uniform-grid ray accelerator (renderer.accel); None = the
+    # chunked brute-force intersector (fine for the canned few-tri scenes)
+    accel: object = None
 
 
 class SceneBuilder:
@@ -54,16 +57,48 @@ class SceneBuilder:
         self._albedo = [(0.0, 0.0, 0.0)]
         self._ior = [1.0]
         self._emission = [(0.0, 0.0, 0.0)]
+        self._albedo_tex = [0]
+        self._emission_tex = [0]
+        # texture 0 is the reserved 1x1 white texel ("no texture")
+        self._textures: List[np.ndarray] = [np.ones((1, 1, 3))]
 
-    def add_material(self, kind, albedo=(0, 0, 0), ior=1.0, emission=(0, 0, 0)) -> int:
+    def _packed_textures(self, dtype):
+        """Stack all textures into one (NT, TH, TW, 3) array (padded to the
+        largest); true sizes ride in ``tex_hw`` for uv scaling."""
+        th = max(t.shape[0] for t in self._textures)
+        tw = max(t.shape[1] for t in self._textures)
+        out = np.zeros((len(self._textures), th, tw, 3))
+        for i, t in enumerate(self._textures):
+            out[i, : t.shape[0], : t.shape[1]] = t
+        return jnp.asarray(out, dtype)
+
+    def add_texture(self, texels) -> int:
+        """Register an (H, W, 3) texture; returns its id for the material
+        channels (reference ``channel<T>``, ``material.h:18-29``)."""
+        t = np.asarray(texels, np.float64)
+        if t.ndim != 3 or t.shape[2] != 3:
+            raise ValueError(f"texture must be (H, W, 3), got {t.shape}")
+        self._textures.append(t)
+        return len(self._textures) - 1
+
+    def add_material(
+        self, kind, albedo=(0, 0, 0), ior=1.0, emission=(0, 0, 0),
+        albedo_tex: int = 0, emission_tex: int = 0,
+    ) -> int:
         self._kinds.append(int(kind))
         self._albedo.append(tuple(float(c) for c in albedo))
         self._ior.append(float(ior))
         self._emission.append(tuple(float(c) for c in emission))
+        self._albedo_tex.append(int(albedo_tex))
+        self._emission_tex.append(int(emission_tex))
         return len(self._kinds) - 1
 
-    def lambertian(self, albedo, emission=(0, 0, 0)) -> int:
-        return self.add_material(mat_mod.LAMBERTIAN, albedo, emission=emission)
+    def lambertian(self, albedo, emission=(0, 0, 0), albedo_tex: int = 0,
+                   emission_tex: int = 0) -> int:
+        return self.add_material(
+            mat_mod.LAMBERTIAN, albedo, emission=emission,
+            albedo_tex=albedo_tex, emission_tex=emission_tex,
+        )
 
     def mirror(self, albedo=(1, 1, 1)) -> int:
         return self.add_material(mat_mod.SPECULAR_REFLECTION, albedo)
@@ -172,6 +207,13 @@ class SceneBuilder:
                 albedo=jnp.asarray(self._albedo, dtype),
                 ior=jnp.asarray(self._ior, dtype),
                 emission=jnp.asarray(emission, dtype),
+                albedo_tex=jnp.asarray(self._albedo_tex, jnp.int32),
+                emission_tex=jnp.asarray(self._emission_tex, jnp.int32),
+                textures=self._packed_textures(dtype),
+                tex_hw=jnp.asarray(
+                    [[t.shape[0], t.shape[1]] for t in self._textures],
+                    jnp.int32,
+                ),
             ),
             light_tri=jnp.asarray(li),
             light_area=jnp.asarray(la, dtype),

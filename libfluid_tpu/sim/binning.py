@@ -104,7 +104,8 @@ def gather_neighbors(
     out-of-range cells. Cells holding more than `max_per_cell` particles
     contribute only their first `max_per_cell` (in cell-sorted order) — a
     fixed-capacity truncation required for static shapes; with the default
-    seeding of 8 particles/cell and capacity 16 truncation is rare.
+    seeding of 8 particles/cell and capacity ``cfg.max_neighbors_per_cell``
+    (12) truncation is rare.
     """
     k = cfg.max_neighbors_per_cell if max_per_cell is None else max_per_cell
     nx, ny, nz = cfg.grid_size

@@ -106,6 +106,225 @@ def _roll_z(arr: jnp.ndarray, dz: int, zmask_cache: dict) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# P2G: particle-to-grid momentum transfer
+# ---------------------------------------------------------------------------
+
+
+def _roll_axis(arr: jnp.ndarray, d: int, axis: int, cache: dict) -> jnp.ndarray:
+    """Entry i holds arr[i - d] along `axis` (negative axis index), zero fill
+    at the edges — the in-VMEM equivalent of ``slots.shifted`` for one dim."""
+    if d == 0:
+        return arr
+    n = arr.shape[axis]
+    rolled = pltpu.roll(arr, d % n, axis=arr.ndim + axis)
+    key = (d, axis, arr.ndim)
+    if key not in cache:
+        shape = [1] * arr.ndim
+        shape[axis] = n
+        zi = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), arr.ndim + axis)
+        cache[key] = ((zi - d >= 0) & (zi - d < n)).astype(arr.dtype)
+    return rolled * cache[key]
+
+
+def _p2g_kernel(
+    occ_ref,  # scalar prefetch (gx,) int32 — plane (or halo) holds particles
+    left_ref,  # VMEM (16K, 1, ny, nz) payload plane x = i-1 (clamped)
+    ctr_ref,  # VMEM (16K, 1, ny, nz) payload plane x = i
+    right_ref,  # VMEM (16K, 1, ny, nz) payload plane x = i+1 (clamped)
+    un_ref,  # VMEM out (1, ny, nz) — lo-face accumulators of the plane's cells
+    vn_ref,
+    wn_ref,
+    ud_ref,
+    vd_ref,
+    wd_ref,
+    *,
+    k: int,
+    h: float,
+    offset: tuple,
+    use_affine: bool,
+):
+    """All P2G contributions to the LO faces of one x-plane of cells.
+
+    Face f (cell-indexed: the lo face of cell c along `axis`) accumulates the
+    kernel-weighted momentum of cells b = c - d for the 18 offsets d in its
+    staggered support (d_axis in {0,1}, others {-1,0,1}) — the same sum as
+    the jnp oracle (``transfers.p2g_slots``, ref ``simulation.cpp:293-412``).
+
+    Tiling: grid over x-planes with three clamped-index block inputs (left /
+    center / right plane). The x halo therefore costs 3x streaming reads of
+    the payload but ZERO materialized halo windows (the round-1
+    ``_halo_windows`` copy cost more than the whole jnp pass); y and z halos
+    are in-VMEM lane rolls.
+    """
+    i = pl.program_id(0)
+    nplanes = pl.num_programs(0)
+
+    @pl.when(occ_ref[i] == 0)
+    def _():
+        for ref in (un_ref, vn_ref, wn_ref, ud_ref, vd_ref, wd_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    @pl.when(occ_ref[i] > 0)
+    def _():
+        ny, nz = ctr_ref.shape[-2], ctr_ref.shape[-1]
+        # x-block validity: at the domain edge the clamped neighbor block is
+        # a duplicate and must contribute nothing (no cells beyond the wall)
+        lvalid = (i > 0).astype(jnp.float32)
+        rvalid = (i < nplanes - 1).astype(jnp.float32)
+
+        inv_h = 1.0 / h
+        shape3 = (1, ny, nz)
+        cyf = jax.lax.broadcasted_iota(jnp.int32, shape3, 1).astype(jnp.float32)
+        czf = jax.lax.broadcasted_iota(jnp.int32, shape3, 2).astype(jnp.float32)
+        cxf = jnp.full(shape3, 0.0) + i.astype(jnp.float32)
+        cf = [cxf, cyf, czf]
+
+        def prep(ref, xvalid):
+            """Block -> (gpos[3], mask, vel[3], aff[3][3]) in grid units."""
+            win = ref[:, 0]  # (16K, ny, nz)
+            pos = win[: 3 * k].reshape(3, k, ny, nz)
+            gpos = [(pos[d] - offset[d]) * inv_h for d in range(3)]
+            mask = win[3 * k : 4 * k] * xvalid
+            vel = win[4 * k : 7 * k].reshape(3, k, ny, nz)
+            aff = (
+                win[7 * k : 16 * k].reshape(3, 3, k, ny, nz)
+                if use_affine
+                else None
+            )
+            return gpos, mask, vel, aff
+
+        # contribution offset d reads cell b = c - d: d_x = +1 -> LEFT plane
+        blocks = {
+            1: prep(left_ref, lvalid),
+            0: prep(ctr_ref, 1.0),
+            -1: prep(right_ref, rvalid),
+        }
+
+        num = [jnp.zeros(shape3[1:], jnp.float32) for _ in range(3)]
+        den = [jnp.zeros(shape3[1:], jnp.float32) for _ in range(3)]
+        cache: dict = {}
+
+        for dx in (-1, 0, 1):
+            gpos0, mask0, vel0, aff0 = blocks[dx]
+            for dy in (-1, 0, 1):
+                # roll y once, reuse across dz and all consumers
+                def ry(a):
+                    return _roll_axis(a, dy, -2, cache)
+
+                gpos_y = [ry(g) for g in gpos0]
+                mask_y = ry(mask0)
+                vel_y = None
+                aff_y = None
+                for dz in (-1, 0, 1):
+                    d = (dx, dy, dz)
+                    axes = [a for a in range(3) if d[a] != -1]
+                    if not axes:
+                        continue
+                    if vel_y is None:
+                        vel_y = [ry(v) for v in vel0]
+                        if use_affine:
+                            aff_y = [[ry(aff0[a, j]) for j in range(3)] for a in range(3)]
+
+                    def rz(a):
+                        return _roll_axis(a, dz, -1, cache)
+
+                    mask_b = rz(mask_y)
+                    gpos_b = [rz(g) for g in gpos_y]
+                    hat0 = {}
+                    hat05 = {}
+                    for dim in range(3):
+                        t = gpos_b[dim] - cf[dim]
+                        if dim in axes:
+                            hat0[dim] = jnp.maximum(1.0 - jnp.abs(t), 0.0)
+                        hat05[dim] = jnp.maximum(1.0 - jnp.abs(t - 0.5), 0.0)
+                    for a in axes:
+                        w = mask_b
+                        for dim in range(3):
+                            w = w * (hat0[dim] if dim == a else hat05[dim])
+                        val = rz(vel_y[a])
+                        if use_affine:
+                            # + A_row . (x_face - x_p), in grid units * h
+                            for jdim in range(3):
+                                shift = 0.0 if jdim == a else 0.5
+                                dxj = (cf[jdim] + shift - gpos_b[jdim]) * h
+                                val = val + rz(aff_y[a][jdim]) * dxj
+                        num[a] = num[a] + jnp.sum(w * val, axis=0)
+                        den[a] = den[a] + jnp.sum(w, axis=0)
+
+        for a, (nref, dref) in enumerate(
+            zip((un_ref, vn_ref, wn_ref), (ud_ref, vd_ref, wd_ref))
+        ):
+            nref[0] = num[a]
+            dref[0] = den[a]
+
+
+def plane_occupancy(mask: jnp.ndarray, halo: int = 1) -> jnp.ndarray:
+    """(K, nx, ny, nz) slot mask -> (nx,) int32: does x-plane i (or its halo
+    neighbors) hold any particle?"""
+    per_plane = jnp.sum(mask, axis=(0, 2, 3))  # (nx,)
+    nx = per_plane.shape[0]
+    p = jnp.pad(per_plane, (halo, halo))
+    acc = jnp.zeros((nx,), per_plane.dtype)
+    for d in range(2 * halo + 1):
+        acc = acc + p[d : d + nx]
+    return (acc > 0).astype(jnp.int32)
+
+
+def p2g_lo_faces_pallas(
+    data: jnp.ndarray,  # (16, K, nx, ny, nz) slot payload
+    cfg: SimConfig,
+    use_affine: bool,
+):
+    """UNNORMALIZED lo-face accumulators: (num_u, num_v, num_w, den_u,
+    den_v, den_w), each (nx, ny, nz). The caller merges overflow particles
+    and normalizes.
+
+    The hi boundary planes (faces x=nx, y=ny, z=nz) are NOT computed here —
+    the caller assembles them (they only see cells on the far boundary slab,
+    a cheap jnp pass)."""
+    width, k, nx, ny, nz = data.shape
+
+    payload = data.reshape(width * k, nx, ny, nz)
+    occ = plane_occupancy(data[slots_mod.COL_MASK])
+
+    def xblock(dx):
+        return pl.BlockSpec(
+            (width * k, 1, ny, nz),
+            lambda i, *_: (0, jnp.clip(i + dx, 0, nx - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nx,),
+        in_specs=[xblock(-1), xblock(0), xblock(1)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ny, nz),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 6,
+    )
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz), jnp.float32)] * 6
+    return pl.pallas_call(
+        functools.partial(
+            _p2g_kernel,
+            k=k,
+            h=float(cfg.cell_size),
+            offset=tuple(float(o) for o in cfg.grid_offset),
+            use_affine=use_affine,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(occ, payload, payload, payload)
+
+
+# ---------------------------------------------------------------------------
 # Position-correction springs
 # ---------------------------------------------------------------------------
 

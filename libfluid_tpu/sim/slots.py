@@ -25,8 +25,9 @@ affine rows row-major (7:16).
 
 Particles beyond the K-th in a cell ("overflow") get no slot; callers read
 :attr:`SlotGrid.overflow` to handle them (the step counts them as a
-diagnostic; with the default seeding of 8 particles/cell and K=16 overflow
-requires 2x local compression and does not occur in practice).
+diagnostic; K defaults to ``cfg.max_neighbors_per_cell`` = 12 — 1.5x the
+default 8-particles/cell seeding — and the e2e tests assert the count stays
+zero on the standard scenes).
 """
 
 from __future__ import annotations

@@ -120,8 +120,12 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         cfg,
     )
 
-    # --- P2G + cell marking ---
-    u, v, w = transfers.p2g_slots(slot_grid, cfg)
+    # --- P2G + cell marking (exact: overflow particles merge via a small
+    # compacted scatter pass inside p2g_slots) ---
+    u, v, w = transfers.p2g_slots(
+        slot_grid, state.position, state.velocity, state.affine,
+        state.active, cfg,
+    )
     grid = state.grid._replace(u=u, v=v, w=w)
     grid = grids.mark_cells(grid, bins.occupancy)
     if cfg.scheme == TransferScheme.APIC:

@@ -16,6 +16,7 @@ when cell_size == 1; the normalized form here is the intended one.)
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -43,9 +44,9 @@ def _p2g_axis(
     active: jnp.ndarray,
     cfg: SimConfig,
     axis: int,
-) -> jnp.ndarray:
+):
     """Scatter one velocity component to its face array; returns the
-    weight-normalized face array."""
+    UNNORMALIZED (momentum, weight) face arrays."""
     nx, ny, nz = cfg.grid_size
     shape = [nx, ny, nz]
     shape[axis] += 1
@@ -84,8 +85,13 @@ def _p2g_axis(
         num = num.at[flat].add(w * val, mode="drop")
         den = den.at[flat].add(w, mode="drop")
 
-    face = jnp.where(den > _WEIGHT_EPS, num / jnp.maximum(den, _WEIGHT_EPS), 0.0)
-    return face.reshape(tuple(shape))
+    return num.reshape(tuple(shape)), den.reshape(tuple(shape))
+
+
+def _normalize(num, den):
+    return jnp.where(
+        den > _WEIGHT_EPS, num / jnp.maximum(den, _WEIGHT_EPS), 0.0
+    )
 
 
 def p2g(
@@ -104,16 +110,15 @@ def p2g(
     use_affine = cfg.scheme == TransferScheme.APIC
     out = []
     for axis in range(3):
-        out.append(
-            _p2g_axis(
-                position,
-                velocity[:, axis],
-                affine[:, axis, :] if use_affine else None,
-                active,
-                cfg,
-                axis,
-            )
+        num, den = _p2g_axis(
+            position,
+            velocity[:, axis],
+            affine[:, axis, :] if use_affine else None,
+            active,
+            cfg,
+            axis,
         )
+        out.append(_normalize(num, den))
     return tuple(out)
 
 
@@ -215,19 +220,70 @@ def _add_shifted_face(acc: jnp.ndarray, ctr: jnp.ndarray, d, axis: int) -> jnp.n
     return acc.at[tuple(acc_sl)].add(ctr[tuple(ctr_sl)])
 
 
-def p2g_slots(slot_grid, cfg: SimConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense particle-to-grid transfer from the cell-slot grid.
+def p2g_slots(
+    slot_grid,
+    position: jnp.ndarray,
+    velocity: jnp.ndarray,
+    affine: jnp.ndarray,
+    active: jnp.ndarray,
+    cfg: SimConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense particle-to-grid transfer from the cell-slot grid — EXACT.
 
     Same weighted average as :func:`p2g` (reference ``simulation.cpp:293-412``)
     but with the scatter turned inside out: every face f = c + d accumulates
     the kernel-weighted momentum of cell c's K slots for the 18 cell-relative
     offsets d in its staggered support, as statically shifted dense adds — no
-    scatter at all. The 3 axes' offset sets are subsets of the 27-cell
-    neighborhood, so one loop over 27 offsets serves all axes. Overflow
-    particles (rank >= K) are excluded — the step diagnoses their count.
+    scatter at all. On TPU the 27-offset pass runs as one fused Pallas kernel
+    (the payload streams from HBM once, ``kernels.p2g_lo_faces_pallas``);
+    elsewhere, and for the VJP, the jnp oracle is the semantic reference.
+
+    Particles past the per-cell slot capacity ("overflow", rank >= K —
+    transient compression in splashes) are NOT dropped: up to
+    ``cfg.p2g_overflow_capacity`` of them are compacted into a fixed buffer
+    and scatter-added into the same unnormalized momentum/weight
+    accumulators, matching the reference's uncapped per-cell lists. Past the
+    compaction capacity, faces in hyper-compressed cells average their first
+    K (+compacted) particles — a subsample-mean approximation (P2G is a
+    weight-NORMALIZED average; truncation is estimator noise, not mass
+    loss).
+
+    `position/velocity/affine/active` are the CELL-SORTED particle arrays the
+    slot grid was built from.
     """
+    num, den = _p2g_data(slot_grid.data, cfg)
+    num, den = list(num), list(den)
+
+    n = position.shape[0]
+    cap = min(max(256, cfg.p2g_overflow_capacity), n)
+    use_affine = cfg.scheme == TransferScheme.APIC
+    idx = jnp.nonzero(slot_grid.overflow, size=cap, fill_value=n)[0]
+    ok = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    pos_o = position[safe]
+    vel_o = velocity[safe]
+    aff_o = affine[safe] if use_affine else None
+    act_o = ok & active[safe]
+    for axis in range(3):
+        n_o, d_o = _p2g_axis(
+            pos_o,
+            vel_o[:, axis],
+            aff_o[:, axis, :] if use_affine else None,
+            act_o,
+            cfg,
+            axis,
+        )
+        num[axis] = num[axis] + n_o
+        den[axis] = den[axis] + d_o
+
+    return tuple(_normalize(num[a], den[a]) for a in range(3))
+
+
+def _p2g_slots_jnp(data, cfg: SimConfig):
+    """The pure-jnp oracle: one fused XLA pass per (offset, axis) pair."""
     from libfluid_tpu.sim import slots as slots_mod
 
+    slot_grid = slots_mod.SlotGrid(data=data, slot_of=None, overflow=None)
     nx, ny, nz = cfg.grid_size
     h = cfg.cell_size
     use_affine = cfg.scheme == TransferScheme.APIC
@@ -276,16 +332,111 @@ def p2g_slots(slot_grid, cfg: SimConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.
             num[axis] = _add_shifted_face(num[axis], jnp.sum(w * val, axis=0), d, axis)
             den[axis] = _add_shifted_face(den[axis], jnp.sum(w, axis=0), d, axis)
 
-    out = []
-    for axis in range(3):
-        out.append(
-            jnp.where(
-                den[axis] > _WEIGHT_EPS,
-                num[axis] / jnp.maximum(den[axis], _WEIGHT_EPS),
-                0.0,
+    return tuple(num), tuple(den)
+
+
+def _p2g_hi_plane(data, cfg: SimConfig, axis: int):
+    """The far boundary face plane (f_axis = n_axis), fed only by the last
+    cell slab (b_axis = n_axis - 1) over the 9 transverse offsets. Completes
+    the Pallas kernel's lo-face arrays. Returns unnormalized (num, den)."""
+    use_affine = cfg.scheme == TransferScheme.APIC
+    k = data.shape[1]
+    h = cfg.cell_size
+    na = cfg.grid_size[axis]
+    taxes = [d for d in range(3) if d != axis]
+
+    def slab(arr):  # (..., nx, ny, nz) -> (..., nt1, nt2) at face-axis n-1
+        # slice FIRST: moveaxis on the full array materializes a transpose
+        # of the whole payload (1.6 GB at 128^3); on the 1-plane slab it is
+        # a trivial reshape
+        idx = [slice(None)] * arr.ndim
+        idx[arr.ndim - 3 + axis] = slice(na - 1, na)
+        a = arr[tuple(idx)]
+        return jnp.moveaxis(a, axis - 3, -3)[..., 0, :, :]
+
+    pos = slab(data[0:3])  # (3, K, nt1, nt2)
+    mask = slab(data[3])
+    vel_a = slab(data[4 + axis])
+    if use_affine:
+        aff = slab(data[7 + 3 * axis : 10 + 3 * axis])  # (3, K, nt1, nt2)
+
+    nt1, nt2 = mask.shape[-2:]
+    off = [float(o) for o in cfg.grid_offset]
+    gpos = [(pos[d] - off[d]) / h for d in range(3)]
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (1, nt1, nt2), 1).astype(cfg.dtype)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (1, nt1, nt2), 2).astype(cfg.dtype)
+    ct = {taxes[0]: c1, taxes[1]: c2}
+
+    def shift2(arr, d1, d2):
+        p = jnp.pad(arr, [(0, 0)] * (arr.ndim - 2) + [(1, 1), (1, 1)])
+        return p[..., 1 - d1 : 1 - d1 + nt1, 1 - d2 : 1 - d2 + nt2]
+
+    num = jnp.zeros((nt1, nt2), cfg.dtype)
+    den = jnp.zeros((nt1, nt2), cfg.dtype)
+    for d1 in (-1, 0, 1):
+        for d2 in (-1, 0, 1):
+            w = shift2(mask, d1, d2)
+            ta = shift2(gpos[axis], d1, d2) - na
+            w = w * jnp.maximum(1.0 - jnp.abs(ta), 0.0)
+            for t in taxes:
+                tt = shift2(gpos[t], d1, d2) - (ct[t] + 0.5)
+                w = w * jnp.maximum(1.0 - jnp.abs(tt), 0.0)
+            val = shift2(vel_a, d1, d2)
+            if use_affine:
+                for jdim in range(3):
+                    if jdim == axis:
+                        fp = na * h + off[jdim]
+                    else:
+                        fp = (ct[jdim] + 0.5) * h + off[jdim]
+                    val = val + shift2(aff[jdim], d1, d2) * (
+                        fp - shift2(pos[jdim], d1, d2)
+                    )
+            num = num + jnp.sum(w * val, axis=0)
+            den = den + jnp.sum(w, axis=0)
+    return num, den
+
+
+def _p2g_data_impl(data, cfg: SimConfig):
+    """Unnormalized (num[3], den[3]) face accumulators from the slot grid."""
+    from libfluid_tpu.sim import kernels
+
+    if kernels.pallas_ok(cfg):
+        use_affine = cfg.scheme == TransferScheme.APIC
+        lo = kernels.p2g_lo_faces_pallas(data, cfg, use_affine)
+        nums, dens = [], []
+        for axis in range(3):
+            hn, hd = _p2g_hi_plane(data, cfg, axis)
+            nums.append(
+                jnp.concatenate(
+                    [lo[axis], jnp.expand_dims(hn, axis)], axis=axis
+                )
             )
-        )
-    return tuple(out)
+            dens.append(
+                jnp.concatenate(
+                    [lo[3 + axis], jnp.expand_dims(hd, axis)], axis=axis
+                )
+            )
+        return tuple(nums), tuple(dens)
+    return _p2g_slots_jnp(data, cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _p2g_data(data, cfg: SimConfig):
+    return _p2g_data_impl(data, cfg)
+
+
+def _p2g_fwd(data, cfg: SimConfig):
+    return _p2g_data(data, cfg), (data,)
+
+
+def _p2g_bwd(cfg: SimConfig, residuals, g):
+    (data,) = residuals
+    _, vjp = jax.vjp(lambda d: _p2g_slots_jnp(d, cfg), data)
+    (dd,) = vjp(g)
+    return (dd,)
+
+
+_p2g_data.defvjp(_p2g_fwd, _p2g_bwd)
 
 
 def g2p_pic(

@@ -149,4 +149,11 @@ def fluid_render_scene(
             ),
             blue,
         )
-    return builder.finish(tri_capacity=tri_capacity), cam
+    scene = builder.finish(tri_capacity=tri_capacity)
+    if count > 1024:
+        # fluid meshes are 10^4-10^5 triangles: attach the uniform-grid
+        # accelerator (the reference's BVH role, aabb_tree.cpp:227-322)
+        from libfluid_tpu.renderer import accel as accel_mod
+
+        scene = scene._replace(accel=accel_mod.build(scene, res=(64, 64, 64)))
+    return scene, cam

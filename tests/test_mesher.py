@@ -109,3 +109,24 @@ def test_mc_vertices_differentiable_wrt_sdf():
     e = jnp.zeros_like(sdf0).at[idx].set(eps)
     fd = (loss(sdf0 + e) - loss(sdf0 - e)) / (2 * eps)
     np.testing.assert_allclose(float(gn[idx]), float(fd), rtol=5e-2)
+
+
+def test_obj_attribute_roundtrip(tmp_path):
+    """OBJ export parity (``mesh.h:56-99``): normals/uvs/colors roundtrip."""
+    import numpy as np
+
+    from libfluid_tpu.io.obj import load_obj_full, save_obj
+
+    pos = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    idx = np.array([[0, 1, 2], [0, 2, 3]])
+    nrm = np.tile([0.0, 1.0, 0.0], (4, 1))
+    uv = np.array([[0.0, 0], [1, 0], [0, 1], [1, 1]])
+    col = np.random.RandomState(0).uniform(size=(4, 3))
+    p = tmp_path / "m.obj"
+    save_obj(p, pos, idx, normals=nrm, uvs=uv, colors=col)
+    full = load_obj_full(p)
+    np.testing.assert_allclose(full["positions"], pos)
+    np.testing.assert_array_equal(full["indices"], idx)
+    np.testing.assert_allclose(full["normals"], nrm)
+    np.testing.assert_allclose(full["uvs"], uv)
+    np.testing.assert_allclose(full["colors"], col)

@@ -145,3 +145,32 @@ def test_substep_is_jit_and_grad_safe():
     gn = np.asarray(g)[np.asarray(state.active)]
     assert np.all(np.isfinite(gn))
     assert np.abs(gn).max() > 0.0
+
+
+def test_dam_break_overflow_within_exact_capacity():
+    """Dam-break transients DO exceed K particles/cell occasionally (measured
+    ~800/16384 at dam-break impact with K=16) — those overflow particles are
+    merged exactly by p2g_slots' compacted scatter pass as long as their
+    count stays under ``cfg.p2g_overflow_capacity``. Assert the margin
+    holds."""
+    import jax
+
+    from libfluid_tpu.config import SimConfig, TransferScheme
+    from libfluid_tpu.sim import new_state, seed_box, step
+
+    cfg = SimConfig(
+        grid_size=(24, 24, 24),
+        gravity=(0.0, -981.0, 0.0),
+        particle_capacity=1 << 14,
+        scheme=TransferScheme.APIC,
+        has_obstacles=False,
+    )
+    state = new_state(cfg, jax.random.PRNGKey(0))
+    state = seed_box(state, cfg, (1.0, 1.0, 1.0), (9.0, 9.0, 9.0))
+    fn = jax.jit(lambda s: step(s, cfg, 1.0 / 60.0))
+    cap = cfg.p2g_overflow_capacity
+    worst = 0
+    for _ in range(30):
+        state, diag = fn(state)
+        worst = max(worst, int(diag.overflow_count))
+    assert worst < cap // 4, f"overflow {worst} too close to capacity {cap}"

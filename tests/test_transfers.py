@@ -138,3 +138,49 @@ def test_g2p_is_adjoint_of_trilerp_gather():
     probe = jax.random.normal(jax.random.PRNGKey(5), vals.shape)
     fd = (scatter_component(vals + eps * probe) - scatter_component(vals - eps * probe)) / (2 * eps)
     np.testing.assert_allclose(jnp.vdot(g, probe), fd, rtol=2e-2, atol=1e-3)
+
+
+def test_p2g_slots_exact_under_overflow():
+    """Slot-grid P2G must equal the direct scatter P2G even when cells hold
+    far more than K particles (the compacted overflow pass; reference
+    per-cell lists are uncapped, simulation.cpp:293-412)."""
+    import jax
+    import numpy as np
+
+    from libfluid_tpu.config import SimConfig, TransferScheme
+    from libfluid_tpu.sim import binning as binning_mod
+    from libfluid_tpu.sim import slots as slots_mod
+    from libfluid_tpu.sim import transfers
+    from libfluid_tpu.sim.state import new_state
+
+    cfg = SimConfig(
+        grid_size=(8, 8, 8),
+        particle_capacity=1 << 12,
+        scheme=TransferScheme.APIC,
+    )
+    key = jax.random.PRNGKey(5)
+    state = new_state(cfg, key)
+    n = cfg.particle_capacity
+    k1, k2, k3 = jax.random.split(key, 3)
+    # cram 200 particles into one cell (>> K=16, under the 256-entry
+    # compaction cap); the rest spread over the domain
+    pos = jnp.concatenate([
+        jax.random.uniform(k1, (200, 3), minval=1.1, maxval=1.9),
+        jax.random.uniform(k1, (n - 200, 3), minval=0.5, maxval=7.5),
+    ])
+    vel = jax.random.normal(k2, (n, 3))
+    aff = jax.random.normal(k3, (n, 3, 3)) * 0.1
+    state = state._replace(
+        position=pos, velocity=vel, affine=aff,
+        active=jnp.ones((n,), bool),
+    )
+    state, bins = binning_mod.sort_by_cell(state, cfg)
+    sg = slots_mod.build(state.position, state.velocity, state.affine, bins, cfg)
+    assert int(jnp.sum(sg.overflow)) > 0  # the regime under test
+
+    got = transfers.p2g_slots(
+        sg, state.position, state.velocity, state.affine, state.active, cfg
+    )
+    want = transfers.p2g(state.position, state.velocity, state.affine, state.active, cfg)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-4)
