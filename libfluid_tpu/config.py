@@ -79,8 +79,11 @@ class SimConfig:
 
     enable_position_correction: bool = True
     enable_collisions: bool = True
-    max_neighbors_per_cell: int = 16  # cell-slot capacity; particles past
-    # it ("overflow") are completed by a compacted scatter pass in p2g_slots
+    max_neighbors_per_cell: int = 12  # cell-slot capacity; particles past
+    # it ("overflow") are completed EXACTLY by a compacted scatter pass in
+    # p2g_slots, so K trades dense-pass cost against compaction load rather
+    # than correctness. 12 keeps the Pallas P2G x-plane blocks inside VMEM at
+    # 128^3 (K=16 spills)
     p2g_overflow_capacity: int = 4096  # compaction buffer for that pass.
     # Dam-break impacts transiently pile ~5% of particles past 16/cell; up to
     # this many are merged exactly. Beyond it the face average degrades to a

@@ -308,6 +308,52 @@ class PointCloudLoaderNode(Node):
         return self._points
 
 
+class GridManipulatorNode(Node):
+    """Viewport-overlay geometry for a :class:`GridNode` — the headless
+    equivalent of the Maya viewport manipulator
+    (``grid_manipulator_node.cpp:27-78``), which draws the grid's bounding
+    box and the cached frame's particles. Returns plain arrays any viewer
+    (matplotlib, a notebook, a DCC bridge) can draw:
+
+    ``evaluate()`` -> dict with
+      - ``box_segments``: (12, 2, 3) world-space line segments of the domain
+      - ``particles``: (N, 3) positions of the current frame's particles
+    """
+
+    def __init__(self, grid: "GridNode"):
+        super().__init__()
+        self.grid = grid
+        grid.connect(self)  # time/attribute changes re-dirty the overlay
+        self._overlay = None
+
+    def _compute(self):
+        positions = self.grid.evaluate()
+        cfg = self.grid._config()
+        lo = np.asarray(cfg.domain_min, np.float64)
+        hi = np.asarray(cfg.domain_max, np.float64)
+        corners = np.array(
+            [
+                [x, y, z]
+                for x in (lo[0], hi[0])
+                for y in (lo[1], hi[1])
+                for z in (lo[2], hi[2])
+            ]
+        )  # (8, 3), index bits = (x, y, z)
+        edges = [
+            (0, 1), (2, 3), (4, 5), (6, 7),  # z edges
+            (0, 2), (1, 3), (4, 6), (5, 7),  # y edges
+            (0, 4), (1, 5), (2, 6), (3, 7),  # x edges
+        ]
+        segs = np.stack([corners[list(e)] for e in edges])  # (12, 2, 3)
+        self._overlay = {
+            "box_segments": segs,
+            "particles": np.asarray(positions),
+        }
+
+    def _output(self):
+        return self._overlay
+
+
 def create_simulation_pipeline(
     grid_kwargs: Optional[dict] = None,
     mesher_cfg: Optional[MesherConfig] = None,

@@ -7,15 +7,17 @@ slab resident in VMEM, and run all offsets against it — the payload is read
 from HBM once instead of 27 times, and the pairwise math runs at VPU speed.
 
 Halo handling: overlapping input windows are not expressible with BlockSpec
-index maps, and >3D strided manual DMA faults the chip — so the halo'd tile
-windows are materialized by XLA *outside* the kernel (`_halo_windows`, a
-handful of static slices, ~1.5x the payload bytes once) and the kernel runs
-on a 1D grid of window blocks with Mosaic's automatic double-buffered
-pipeline.
+index maps, >3D strided manual DMA faults the chip, and materializing halo'd
+tile windows in XLA costs more than the whole jnp pass (round 1's mistake).
+Instead every kernel runs on a 1D grid over x-planes with THREE inputs — the
+same payload under clamped index maps (i-1, i, i+1) — so the x halo costs 3x
+streaming reads and zero copies; y/z halos are dynamic in-VMEM lane rolls
+inside fori taps (27 unrolled offsets took Mosaic tens of minutes at 128^2
+planes). Positions are absolute world coordinates, so roll wrap-around
+self-masks through each kernel's compact support.
 
 Layout contract (from :mod:`slots`): arrays are (C, K, nx, ny, nz) with z
-minor — z maps onto the 128 vector lanes, so z-neighbor shifts are lane rolls
-(``pltpu.roll``) with edge masking, and x/y halos come from the windows.
+minor — z maps onto the 128 vector lanes.
 
 The kernels are forward-only; gradients fall back to the pure-jnp
 implementations via ``jax.custom_vjp`` (the jnp versions are the semantic
@@ -48,82 +50,9 @@ def pallas_ok(cfg: SimConfig) -> bool:
     )
 
 
-def _halo_windows(arr: jnp.ndarray, sx: int, sy: int) -> jnp.ndarray:
-    """(C, nx, ny, nz) -> (C, gx, sx+2, gy, sy+2, nz) halo'd tile windows.
-
-    Built from six strided slices (core reshape + one-cell halo planes per
-    axis) with NO transposes — the tile dims stay interleaved with the
-    in-tile dims, which keeps this a pure reshape/concat pipeline (~1.5x the
-    payload bytes); the kernel's BlockSpec picks (i, j) tiles from dims 1/3.
-    """
-    c, nx, ny, nz = arr.shape
-    gx, gy = nx // sx, ny // sy
-    p = jnp.pad(arr, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # stage 1: split x into (gx, sx+2) windows: (c, gx, sx+2, ny+2, nz)
-    wx = jnp.concatenate(
-        [
-            p[:, 0:nx:sx][:, :, None],  # left halo: x = i*sx - 1
-            p[:, 1 : 1 + nx].reshape(c, gx, sx, ny + 2, nz),
-            p[:, sx + 1 :: sx][:, :, None],  # right halo: x = (i+1)*sx
-        ],
-        axis=2,
-    )
-    # stage 2: split y likewise: (c, gx, sx+2, gy, sy+2, nz)
-    return jnp.concatenate(
-        [
-            wx[:, :, :, 0:ny:sy][:, :, :, :, None],
-            wx[:, :, :, 1 : 1 + ny].reshape(c, gx, sx + 2, gy, sy, nz),
-            wx[:, :, :, sy + 1 :: sy][:, :, :, :, None],
-        ],
-        axis=4,
-    )
-
-
-def _untile(arr: jnp.ndarray, gx: int, gy: int) -> jnp.ndarray:
-    """(T, C, sx, sy, nz) -> (C, nx, ny, nz)."""
-    t, c, sx, sy, nz = arr.shape
-    return (
-        arr.reshape(gx, gy, c, sx, sy, nz)
-        .transpose(2, 0, 3, 1, 4, 5)
-        .reshape(c, gx * sx, gy * sy, nz)
-    )
-
-
-def _roll_z(arr: jnp.ndarray, dz: int, zmask_cache: dict) -> jnp.ndarray:
-    """Shift along the minor z axis by dz with zero fill at the domain edge
-    (a lane roll + edge mask; z is the 128-lane dim)."""
-    if dz == 0:
-        return arr
-    nz = arr.shape[-1]
-    rolled = pltpu.roll(arr, (-dz) % nz, axis=arr.ndim - 1)
-    key = (dz, arr.ndim)
-    if key not in zmask_cache:
-        zi = jax.lax.broadcasted_iota(
-            jnp.int32, (1,) * (arr.ndim - 1) + (nz,), arr.ndim - 1
-        )
-        zmask_cache[key] = ((zi + dz >= 0) & (zi + dz < nz)).astype(arr.dtype)
-    return rolled * zmask_cache[key]
-
-
 # ---------------------------------------------------------------------------
 # P2G: particle-to-grid momentum transfer
 # ---------------------------------------------------------------------------
-
-
-def _roll_axis(arr: jnp.ndarray, d: int, axis: int, cache: dict) -> jnp.ndarray:
-    """Entry i holds arr[i - d] along `axis` (negative axis index), zero fill
-    at the edges — the in-VMEM equivalent of ``slots.shifted`` for one dim."""
-    if d == 0:
-        return arr
-    n = arr.shape[axis]
-    rolled = pltpu.roll(arr, d % n, axis=arr.ndim + axis)
-    key = (d, axis, arr.ndim)
-    if key not in cache:
-        shape = [1] * arr.ndim
-        shape[axis] = n
-        zi = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), arr.ndim + axis)
-        cache[key] = ((zi - d >= 0) & (zi - d < n)).astype(arr.dtype)
-    return rolled * cache[key]
 
 
 def _p2g_kernel(
@@ -177,79 +106,73 @@ def _p2g_kernel(
         cyf = jax.lax.broadcasted_iota(jnp.int32, shape3, 1).astype(jnp.float32)
         czf = jax.lax.broadcasted_iota(jnp.int32, shape3, 2).astype(jnp.float32)
         cxf = jnp.full(shape3, 0.0) + i.astype(jnp.float32)
-        cf = [cxf, cyf, czf]
-
-        def prep(ref, xvalid):
-            """Block -> (gpos[3], mask, vel[3], aff[3][3]) in grid units."""
-            win = ref[:, 0]  # (16K, ny, nz)
-            pos = win[: 3 * k].reshape(3, k, ny, nz)
-            gpos = [(pos[d] - offset[d]) * inv_h for d in range(3)]
-            mask = win[3 * k : 4 * k] * xvalid
-            vel = win[4 * k : 7 * k].reshape(3, k, ny, nz)
-            aff = (
-                win[7 * k : 16 * k].reshape(3, 3, k, ny, nz)
-                if use_affine
-                else None
-            )
-            return gpos, mask, vel, aff
+        cf = jnp.stack([cxf, cyf, czf])  # (3, 1, ny, nz)
 
         # contribution offset d reads cell b = c - d: d_x = +1 -> LEFT plane
-        blocks = {
-            1: prep(left_ref, lvalid),
-            0: prep(ctr_ref, 1.0),
-            -1: prep(right_ref, rvalid),
-        }
+        blocks = {1: (left_ref, lvalid), 0: (ctr_ref, 1.0), -1: (right_ref, rvalid)}
 
-        num = [jnp.zeros(shape3[1:], jnp.float32) for _ in range(3)]
-        den = [jnp.zeros(shape3[1:], jnp.float32) for _ in range(3)]
-        cache: dict = {}
+        zero = jnp.zeros(shape3[1:], jnp.float32)
+        num = (zero, zero, zero)
+        den = (zero, zero, zero)
 
         for dx in (-1, 0, 1):
-            gpos0, mask0, vel0, aff0 = blocks[dx]
-            for dy in (-1, 0, 1):
-                # roll y once, reuse across dz and all consumers
-                def ry(a):
-                    return _roll_axis(a, dy, -2, cache)
+            # prep ONE block at a time — keeping all three blocks' derived
+            # arrays live spills VMEM registers (~84 MB at K=16/128^3)
+            ref, xvalid = blocks[dx]
+            win = ref[:, 0]  # (16K, ny, nz)
+            pos = win[: 3 * k].reshape(3, k, ny, nz)
+            gpos0 = jnp.stack(
+                [(pos[d] - offset[d]) * inv_h for d in range(3)]
+            )  # (3, K, ny, nz)
+            mask0 = win[3 * k : 4 * k] * xvalid
+            vel0 = win[4 * k : 7 * k].reshape(3, k, ny, nz)
+            aff0 = (
+                win[7 * k : 16 * k].reshape(3, 3, k, ny, nz)
+                if use_affine
+                else jnp.zeros((3, 3, 1, ny, nz), jnp.float32)
+            )
 
-                gpos_y = [ry(g) for g in gpos0]
-                mask_y = ry(mask0)
-                vel_y = None
-                aff_y = None
-                for dz in (-1, 0, 1):
-                    d = (dx, dy, dz)
-                    axes = [a for a in range(3) if d[a] != -1]
-                    if not axes:
-                        continue
-                    if vel_y is None:
-                        vel_y = [ry(v) for v in vel0]
-                        if use_affine:
-                            aff_y = [[ry(aff0[a, j]) for j in range(3)] for a in range(3)]
+            # the 9 (dy, dz) taps run as a fori_loop with DYNAMIC lane rolls:
+            # unrolling all 27 offsets made Mosaic compile for tens of
+            # minutes at 128^2 planes. Symmetric taps are exact — the hat
+            # support self-masks contributions outside d_a in {0, 1} (their
+            # |t| >= 1), including roll wrap-around (absolute coordinates).
+            def tap(t, acc):
+                num, den = list(acc[0]), list(acc[1])
+                dy = t // 3 - 1
+                dz = t % 3 - 1
+                shy = (-dy) % ny
+                shz = (-dz) % nz
 
-                    def rz(a):
-                        return _roll_axis(a, dz, -1, cache)
+                def rollyz(a):
+                    return pltpu.roll(
+                        pltpu.roll(a, shy, axis=a.ndim - 2), shz, axis=a.ndim - 1
+                    )
 
-                    mask_b = rz(mask_y)
-                    gpos_b = [rz(g) for g in gpos_y]
-                    hat0 = {}
-                    hat05 = {}
+                gpos_b = rollyz(gpos0)
+                mask_b = rollyz(mask0)
+                vel_b = rollyz(vel0)
+                aff_b = rollyz(aff0) if use_affine else aff0
+                # hat factors at both staggered shifts per dim
+                tt = gpos_b - cf  # (3, K, ny, nz) via (3,1,ny,nz) broadcast
+                hat0 = jnp.maximum(1.0 - jnp.abs(tt), 0.0)
+                hat05 = jnp.maximum(1.0 - jnp.abs(tt - 0.5), 0.0)
+                for a in range(3):
+                    w = mask_b
                     for dim in range(3):
-                        t = gpos_b[dim] - cf[dim]
-                        if dim in axes:
-                            hat0[dim] = jnp.maximum(1.0 - jnp.abs(t), 0.0)
-                        hat05[dim] = jnp.maximum(1.0 - jnp.abs(t - 0.5), 0.0)
-                    for a in axes:
-                        w = mask_b
-                        for dim in range(3):
-                            w = w * (hat0[dim] if dim == a else hat05[dim])
-                        val = rz(vel_y[a])
-                        if use_affine:
-                            # + A_row . (x_face - x_p), in grid units * h
-                            for jdim in range(3):
-                                shift = 0.0 if jdim == a else 0.5
-                                dxj = (cf[jdim] + shift - gpos_b[jdim]) * h
-                                val = val + rz(aff_y[a][jdim]) * dxj
-                        num[a] = num[a] + jnp.sum(w * val, axis=0)
-                        den[a] = den[a] + jnp.sum(w, axis=0)
+                        w = w * (hat0[dim] if dim == a else hat05[dim])
+                    val = vel_b[a]
+                    if use_affine:
+                        # + A_row . (x_face - x_p), in grid units * h
+                        for jdim in range(3):
+                            shift = 0.0 if jdim == a else 0.5
+                            dxj = (cf[jdim] + shift - gpos_b[jdim]) * h
+                            val = val + aff_b[a, jdim] * dxj
+                    num[a] = num[a] + jnp.sum(w * val, axis=0)
+                    den[a] = den[a] + jnp.sum(w, axis=0)
+                return tuple(num), tuple(den)
+
+            num, den = jax.lax.fori_loop(0, 9, tap, (num, den))
 
         for a, (nref, dref) in enumerate(
             zip((un_ref, vn_ref, wn_ref), (ud_ref, vd_ref, wd_ref))
@@ -330,69 +253,95 @@ def p2g_lo_faces_pallas(
 
 
 def _correction_kernel(
-    seed_ref,  # scalar prefetch (1,) int32
-    occ_ref,  # scalar prefetch (gx, gy) int32 — per-tile particle presence
-    win_ref,  # VMEM (3*KC+KC, 1, SX+2, 1, SY+2, nz) pos rows then mask rows
-    springs_ref,  # VMEM out (3*KC, SX, SY, nz) — disjoint tile of the output
+    seed_ref,  # (1,) int32 scalar prefetch
+    occ_ref,  # (nx,) int32 scalar prefetch
+    left_ref,  # VMEM (4KC, 1, ny, nz): pos rows then mask rows, plane i-1
+    ctr_ref,
+    right_ref,
+    springs_ref,  # VMEM out (3KC, 1, ny, nz)
     *,
     kc: int,
-    sx: int,
-    sy: int,
     re2: float,
     with_jitter: bool,
 ):
+    """Anti-clumping springs for one x-plane of cells (ref
+    ``simulation.cpp:562-610``), with the P2G kernel's tiling: three
+    clamped-index plane blocks, 9 dynamic-roll (dy, dz) taps per block, and
+    the spring kernel's compact support (re < h) self-masking wrapped rolls
+    (positions are absolute)."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    nplanes = pl.num_programs(0)
 
-    @pl.when(occ_ref[i, j] == 0)
+    @pl.when(occ_ref[i] == 0)
     def _():
         springs_ref[:] = jnp.zeros_like(springs_ref)
 
-    @pl.when(occ_ref[i, j] > 0)
+    @pl.when(occ_ref[i] > 0)
     def _():
         if with_jitter:
-            pltpu.prng_seed(seed_ref[0] + 362437 * i + 7368787 * j)
-        win = win_ref[:, 0, :, 0]  # (4*KC, SX+2, SY+2, nz)
-        nz = win.shape[-1]
-        pos_s = win[: 3 * kc].reshape(3, kc, sx + 2, sy + 2, nz)
-        mask_s = win[3 * kc :]  # (KC, SX+2, SY+2, nz)
+            pltpu.prng_seed(seed_ref[0] + 7368787 * i)
+        ny, nz = ctr_ref.shape[-2], ctr_ref.shape[-1]
+        res = ctr_ref[:, 0]  # (4KC, ny, nz)
+        res_pos = res[: 3 * kc].reshape(3, kc, ny, nz)
+        res_mask = res[3 * kc :]
 
-        res_pos = pos_s[:, :, 1 : 1 + sx, 1 : 1 + sy, :]  # (3, KC, SX, SY, nz)
-        res_mask = mask_s[:, 1 : 1 + sx, 1 : 1 + sy, :]  # (KC, SX, SY, nz)
+        lvalid = (i > 0).astype(jnp.float32)
+        rvalid = (i < nplanes - 1).astype(jnp.float32)
+        blocks = ((left_ref, lvalid), (ctr_ref, 1.0), (right_ref, rvalid))
 
-        wsum = jnp.zeros((kc, sx, sy, nz), jnp.float32)
-        wnbr = [jnp.zeros_like(wsum) for _ in range(3)]
-        coin = jnp.zeros_like(wsum)
-        zmask_cache: dict = {}
+        zero = jnp.zeros((kc, ny, nz), jnp.float32)
+        wsum = zero
+        wnbr = (zero, zero, zero)
+        coin = zero
 
-        for dx, dy, dz in slots_mod.NEIGHBOR_OFFSETS:
-            nb_pos = pos_s[:, :, 1 + dx : 1 + dx + sx, 1 + dy : 1 + dy + sy, :]
-            nb_mask = mask_s[:, 1 + dx : 1 + dx + sx, 1 + dy : 1 + dy + sy, :]
-            nb_pos = _roll_z(nb_pos, dz, zmask_cache)
-            nb_mask = _roll_z(nb_mask, dz, zmask_cache)
-            # pairwise (KC res, KC nbr, SX, SY, nz)
-            sq = sum(
-                (res_pos[c][:, None] - nb_pos[c][None, :]) ** 2 for c in range(3)
-            )
-            pair = res_mask[:, None] * nb_mask[None, :]
-            if (dx, dy, dz) == (0, 0, 0):
-                # exclude self-pairs; broadcasted_iota (not reshape of eye) —
-                # Mosaic can't reshape across the tiled dims
-                ri = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1, 1), 0)
-                ci = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1, 1), 1)
-                pair = pair * (ri != ci).astype(jnp.float32)
-            degenerate = sq < 1e-12
-            kern = jnp.maximum(1.0 - sq * (1.0 / re2), 0.0) ** 3
-            w = kern * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-            w = jnp.where(degenerate, 0.0, w) * pair
-            wsum = wsum + jnp.sum(w, axis=1)
-            for c in range(3):
-                wnbr[c] = wnbr[c] + jnp.sum(w * nb_pos[c][None, :], axis=1)
-            coin = coin + jnp.sum(jnp.where(degenerate, pair, 0.0), axis=1)
+        one_minus_eye = 1.0 - jnp.eye(kc, dtype=jnp.float32).reshape(
+            kc, kc, 1, 1
+        )
+
+        for bi, (ref, xvalid) in enumerate(blocks):
+            win = ref[:, 0]
+            nb_pos0 = win[: 3 * kc].reshape(3, kc, ny, nz)
+            nb_mask0 = win[3 * kc :] * xvalid
+
+            def tap(t, acc):
+                wsum, wnbr, coin = acc
+                wnbr = list(wnbr)
+                dy = t // 3 - 1
+                dz = t % 3 - 1
+                shy = (-dy) % ny
+                shz = (-dz) % nz
+
+                def rollyz(a):
+                    return pltpu.roll(
+                        pltpu.roll(a, shy, axis=a.ndim - 2),
+                        shz,
+                        axis=a.ndim - 1,
+                    )
+
+                nb_pos = rollyz(nb_pos0)
+                nb_mask = rollyz(nb_mask0)
+                # pairwise (KC res, KC nbr, ny, nz)
+                sq = sum(
+                    (res_pos[c][:, None] - nb_pos[c][None, :]) ** 2
+                    for c in range(3)
+                )
+                pair = res_mask[:, None] * nb_mask[None, :]
+                is_self = jnp.logical_and(t == 4, bi == 1)
+                pair = pair * jnp.where(is_self, one_minus_eye, 1.0)
+                degenerate = sq < 1e-12
+                kern = jnp.maximum(1.0 - sq * (1.0 / re2), 0.0) ** 3
+                w = kern * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                w = jnp.where(degenerate, 0.0, w) * pair
+                wsum = wsum + jnp.sum(w, axis=1)
+                for c in range(3):
+                    wnbr[c] = wnbr[c] + jnp.sum(w * nb_pos[c][None, :], axis=1)
+                coin = coin + jnp.sum(jnp.where(degenerate, pair, 0.0), axis=1)
+                return wsum, tuple(wnbr), coin
+
+            wsum, wnbr, coin = jax.lax.fori_loop(0, 9, tap, (wsum, wnbr, coin))
 
         if with_jitter:
-            bits = pltpu.prng_random_bits((3, kc, sx, sy, nz))
-            # int32 bits are uniform over [-2^31, 2^31): scale to [-1, 1)
+            bits = pltpu.prng_random_bits((3, kc, ny, nz))
             jitter = (
                 pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
                 * (1.0 / 2147483648.0)
@@ -401,23 +350,7 @@ def _correction_kernel(
             out = res_pos[c] * wsum - wnbr[c]
             if with_jitter:
                 out = out + coin * jitter[c]
-            springs_ref[c * kc : (c + 1) * kc] = out
-
-
-def tile_occupancy(mask: jnp.ndarray, sx: int, sy: int, halo: int = 1) -> jnp.ndarray:
-    """(K, nx, ny, nz) slot mask -> (gx, gy) int32 flags: does tile (i, j)
-    (or its halo ring) hold any particle?"""
-    k, nx, ny, nz = mask.shape
-    gx, gy = nx // sx, ny // sy
-    any_part = (
-        jnp.sum(mask, axis=(0, 3)).reshape(gx, sx, gy, sy).sum(axis=(1, 3))
-    )  # (gx, gy)
-    p = jnp.pad(any_part, ((halo, halo), (halo, halo)))
-    acc = jnp.zeros((gx, gy), any_part.dtype)
-    for dx in range(2 * halo + 1):
-        for dy in range(2 * halo + 1):
-            acc = acc + p[dx : dx + gx, dy : dy + gy]
-    return (acc > 0).astype(jnp.int32)
+            springs_ref[c * kc : (c + 1) * kc, 0] = out
 
 
 def correction_springs_pallas(
@@ -428,34 +361,31 @@ def correction_springs_pallas(
     cfg: SimConfig,
     with_jitter: bool = True,
 ) -> jnp.ndarray:
-    """Per-slot correction springs incl. coincident-pair jitter, as one
-    VMEM-resident pass over the 27 offsets. Returns (3, KC, nx, ny, nz)."""
+    """Per-slot correction springs incl. coincident-pair jitter; the payload
+    streams from HBM 3x (x-halo blocks) with zero window materialization.
+    Returns (3, KC, nx, ny, nz)."""
     kc = res_pos.shape[1]
     nx, ny, nz = cfg.grid_size
-    sx, sy = 8, 8
-    gx, gy = nx // sx, ny // sy
 
     payload = jnp.concatenate(
         [res_pos.reshape(3 * kc, nx, ny, nz), res_mask], axis=0
     )
-    win = _halo_windows(payload, sx, sy)  # (4KC, gx, SX+2, gy, SY+2, nz)
-    occ = tile_occupancy(res_mask, sx, sy)
+    occ = plane_occupancy(res_mask)
 
-    # the output is the untiled springs array directly — tiles are disjoint,
-    # only the INPUT needs halo windows
+    def xblock(dx):
+        return pl.BlockSpec(
+            (4 * kc, 1, ny, nz),
+            lambda i, *_: (0, jnp.clip(i + dx, 0, nx - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(gx, gy),
-        in_specs=[
-            pl.BlockSpec(
-                (4 * kc, 1, sx + 2, 1, sy + 2, nz),
-                lambda i, j, *_: (0, i, 0, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        grid=(nx,),
+        in_specs=[xblock(-1), xblock(0), xblock(1)],
         out_specs=pl.BlockSpec(
-            (3 * kc, sx, sy, nz),
-            lambda i, j, *_: (0, i, j, 0),
+            (3 * kc, 1, ny, nz),
+            lambda i, *_: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -463,8 +393,6 @@ def correction_springs_pallas(
         functools.partial(
             _correction_kernel,
             kc=kc,
-            sx=sx,
-            sy=sy,
             re2=float(re2),
             with_jitter=with_jitter,
         ),
@@ -473,5 +401,5 @@ def correction_springs_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray([seed], jnp.int32), occ, win)
+    )(jnp.asarray([seed], jnp.int32), occ, payload, payload, payload)
     return springs.reshape(3, kc, nx, ny, nz)

@@ -1,6 +1,9 @@
 """BDPT tests: subpath bookkeeping, MIS normalization on direct hits, and
 agreement with the (unbiased) naive path tracer on the Cornell box."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # BDPT consistency renders
 import dataclasses
 
 import jax

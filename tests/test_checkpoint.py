@@ -35,6 +35,7 @@ def assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_round_trip(tmp_path):
     cfg = small_cfg()
     state = make_state(cfg)
@@ -48,6 +49,7 @@ def test_round_trip(tmp_path):
     assert checkpoint.metadata(path) == {"frame": 7, "setup": 0}
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     """stepping a restored state == stepping the original state."""
     cfg = small_cfg()

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # frame-loop integration
+
 from libfluid_tpu.config import MesherConfig
 from libfluid_tpu.dcc import (
     GridNode,
@@ -87,3 +89,34 @@ def test_point_cloud_loader(tmp_path):
     node = PointCloudLoaderNode(path)
     out = node.evaluate()
     np.testing.assert_allclose(out, pts, rtol=1e-6)
+
+
+def test_grid_manipulator_overlay():
+    """GridManipulatorNode mirrors the Maya viewport manipulator
+    (grid_manipulator_node.cpp:27-78): domain box segments + frame particles."""
+    import numpy as np
+
+    from libfluid_tpu import dcc
+
+    grid, _ = dcc.create_simulation_pipeline(
+        grid_kwargs=dict(grid_size=(12, 12, 12), particle_capacity=1 << 10)
+    )
+    grid.add_seeder(
+        lambda s, cfg: __import__(
+            "libfluid_tpu.sim", fromlist=["seed_box"]
+        ).seed_box(s, cfg, (1.0, 1.0, 1.0), (5.0, 5.0, 5.0))
+    )
+    manip = dcc.GridManipulatorNode(grid)
+    grid.set_time(1)
+    out = manip.evaluate()
+    assert out["box_segments"].shape == (12, 2, 3)
+    assert out["particles"].shape[1] == 3 and out["particles"].shape[0] > 0
+    # all particles inside the box
+    lo = out["box_segments"].min(axis=(0, 1))
+    hi = out["box_segments"].max(axis=(0, 1))
+    assert np.all(out["particles"] >= lo - 1e-6)
+    assert np.all(out["particles"] <= hi + 1e-6)
+    # time change invalidates through the connection
+    grid.set_time(2)
+    out2 = manip.evaluate()
+    assert out2["particles"].shape[0] > 0

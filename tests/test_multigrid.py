@@ -1,6 +1,7 @@
 """Multigrid preconditioner tests: operator equivalence, V-cycle symmetry
 (CG's requirement), and the iteration-count win over diagonal preconditioning."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -61,6 +62,7 @@ def test_vcycle_is_symmetric():
     assert float(jnp.vdot(m2, r2)) > 0
 
 
+@pytest.mark.slow
 def test_mg_converges_much_faster_than_jacobi():
     """Iteration counts: MG is ~mesh-independent; Jacobi grows with size.
     Use a deep full-width pool (the hard case — long-range pressure

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # finite-difference render gradients
+
 from libfluid_tpu.config import RenderConfig
 from libfluid_tpu.renderer import scenes
 from libfluid_tpu.renderer.render import render

