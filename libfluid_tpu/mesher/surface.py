@@ -114,13 +114,21 @@ def _sample_surface_jnp(
     return jnp.where(has, value, 1.0)
 
 
+def _pad_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def _build_mesh_slots(position, active, cfg: MesherConfig, k: int):
-    """Bin particles into a (4, K, mx+1, my+1, mz+1) mesher-cell slot grid
-    (cols: xyz + mask; one phantom layer so the node pass and the cell grid
-    share shapes). One argsort + one (N, 4) row scatter."""
+    """Bin particles into a (4, K, mx+1, PY, PZ) mesher-cell slot grid
+    (cols: xyz + mask). One argsort + one (N, 4) row scatter.
+
+    PY/PZ round the node counts up to the (8, 128) vector tile so the node
+    pass's dynamic lane rolls are aligned (Mosaic rejects unaligned
+    ``dynamic_rotate``); padding cells are empty (mask 0) and positions are
+    absolute, so wrap-around contributions self-mask by distance."""
     mx, my, mz = cfg.grid_size
     dims = jnp.asarray([mx, my, mz], jnp.int32)
-    pdims = (mx + 1, my + 1, mz + 1)
+    pdims = (mx + 1, _pad_up(my + 1, 8), _pad_up(mz + 1, 128))
     num_cells = pdims[0] * pdims[1] * pdims[2]
     n = position.shape[0]
 
@@ -241,7 +249,8 @@ def _surface_kernel(
 
 
 def _sample_surface_pallas(data, cfg: MesherConfig, radius: float):
-    """(4, K, P, P, P) slot payload -> (P, P, P) signed surface values."""
+    """(4, K, PX, PY, PZ) slot payload -> (PX, PY, PZ) signed values (the
+    caller crops the alignment padding)."""
     _, k, px, py, pz = data.shape
     h = cfg.cell_size
     cr = max(math.ceil(cfg.particle_extent / h), 1)
@@ -290,7 +299,9 @@ def _sample_surface_pallas(data, cfg: MesherConfig, radius: float):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _sample_surface_tpu(position, active, cfg: MesherConfig, radius: float):
     data, _overflow = _build_mesh_slots(position, active, cfg, MESH_SLOT_K)
-    return _sample_surface_pallas(data, cfg, radius)
+    out = _sample_surface_pallas(data, cfg, radius)
+    mx, my, mz = cfg.grid_size
+    return out[: mx + 1, : my + 1, : mz + 1]
 
 
 def _surface_fwd(position, active, cfg, radius):

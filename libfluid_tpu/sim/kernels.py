@@ -294,9 +294,11 @@ def _correction_kernel(
         wnbr = (zero, zero, zero)
         coin = zero
 
-        one_minus_eye = 1.0 - jnp.eye(kc, dtype=jnp.float32).reshape(
-            kc, kc, 1, 1
-        )
+        # broadcasted_iota, not reshape-of-eye: Mosaic cannot shape-cast
+        # across the tiled dims
+        ri = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1), 1)
+        one_minus_eye = (ri != ci).astype(jnp.float32)
 
         for bi, (ref, xvalid) in enumerate(blocks):
             win = ref[:, 0]
@@ -330,7 +332,10 @@ def _correction_kernel(
                 pair = pair * jnp.where(is_self, one_minus_eye, 1.0)
                 degenerate = sq < 1e-12
                 kern = jnp.maximum(1.0 - sq * (1.0 / re2), 0.0) ** 3
-                w = kern * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                # sqrt + divide, not rsqrt: Mosaic's rsqrt is the ~1e-4
+                # hardware approximation; the jnp oracle's XLA rsqrt is
+                # Newton-refined and parity tests compare the two
+                w = kern / jnp.sqrt(jnp.maximum(sq, 1e-12))
                 w = jnp.where(degenerate, 0.0, w) * pair
                 wsum = wsum + jnp.sum(w, axis=1)
                 for c in range(3):
