@@ -1,7 +1,19 @@
-"""Per-stage wall-clock breakdown of the 128^3 APIC substep (host-synced)."""
-import sys, jax, jax.numpy as jnp
+"""Per-stage wall-clock breakdown of the 128^3 APIC substep (host-synced).
 
-sys.path.insert(0, "/root/repo/benchmarks")
+Run from anywhere: ``python benchmarks/prof_stages.py [grid_n]``. Output is
+the round's profiling artifact (commit it) — perf work starts here, not from
+guesses.
+"""
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_ROOT, os.path.join(_ROOT, "benchmarks")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import jax
+
 from timing import timeit
 
 from libfluid_tpu.config import SimConfig, TransferScheme
@@ -13,15 +25,16 @@ from libfluid_tpu.sim import extrapolation as extrapolation_mod
 from libfluid_tpu import grids
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-cfg = SimConfig(grid_size=(N,N,N), gravity=(0.,-981.,0.),
-                particle_capacity=1<<21 if N>=128 else 1<<18,
+cfg = SimConfig(grid_size=(N, N, N), gravity=(0., -981., 0.),
+                particle_capacity=1 << 21 if N >= 128 else 1 << 18,
                 scheme=TransferScheme.APIC, has_obstacles=False)
 state = new_state(cfg, jax.random.PRNGKey(0))
-state = seed_box(state, cfg, (1.,1.,1.), (N//2-1.,)*3)
+state = seed_box(state, cfg, (1., 1., 1.), (N // 2 - 1.,) * 3)
 dt = 0.02
 fn = jax.jit(lambda s: substep(s, cfg, dt)[0])
 state = fn(state)
 state = fn(state)
+
 
 def bench(name, f, *args):
     g = jax.jit(f)
@@ -29,9 +42,20 @@ def bench(name, f, *args):
     print(f"{name:22s} {dt_wall*1e3:8.1f} ms", flush=True)
     return out
 
+
 state2, bins = bench("sort_by_cell", lambda s: binning_mod.sort_by_cell(s, cfg), state)
-slot_grid = bench("slots.build", lambda s, b: slots_mod.build(s.position, s.velocity, s.affine, b, cfg), state2, bins)
-uvw = bench("p2g_slots", lambda sg: transfers.p2g_slots(sg, cfg), slot_grid)
+slot_grid = bench(
+    "slots.build",
+    lambda s, b: slots_mod.build(s.position, s.velocity, s.affine, b, cfg),
+    state2, bins,
+)
+uvw = bench(
+    "p2g_slots",
+    lambda sg, s: transfers.p2g_slots(
+        sg, s.position, s.velocity, s.affine, s.active, cfg
+    ),
+    slot_grid, state2,
+)
 grid = state2.grid._replace(u=uvw[0], v=uvw[1], w=uvw[2])
 grid = grids.mark_cells(grid, bins.occupancy)
 pres = bench("pressure.solve", lambda g: pressure_mod.solve(g, cfg, dt), grid)

@@ -1,65 +1,106 @@
-"""Multi-device scaling efficiency of the sharded substep on a CPU mesh.
+"""Multi-device scaling of the explicit z-sharded substep on a CPU mesh.
 
 Multi-chip TPU hardware is unavailable in this environment (BASELINE.md
-north star: >=80% efficiency 1 chip -> N); this harness measures the same
-sharded program (dp particles + z-sharded grid via GSPMD) on N virtual CPU
-devices so layout/collective regressions are visible. Run:
+north star: >=80% efficiency 1 chip -> N); this harness runs the SAME
+shard_map program (``libfluid_tpu.parallel.zshard``) on N virtual CPU
+devices. The N "devices" timeshare one socket, so the ideal N-device
+wall-clock is ~1.0x the 1-device wall-clock — the measured ratio is the
+total sharding overhead (exchanges + redundant ghost work). Run:
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py [grid] [particles_log2]
+    python benchmarks/scaling.py [grid_n] [particles_log2]
+
+Writes SCALING_r0N.json next to the repo root when invoked with --json out.
+
+The scene is a water WALL spanning z (testbed setup 3,
+``testbed/main.cpp:162-166``) — spatial decomposition is load-balanced for
+it, so the number measures communication, not imbalance.
 """
+import json
 import os
 import sys
 import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
 import numpy as np
 
 from libfluid_tpu.config import SimConfig, TransferScheme
-from libfluid_tpu.parallel import make_mesh, shard_sim_state
+from libfluid_tpu.parallel import make_mesh, substep_z, zshard_state
 from libfluid_tpu.sim import new_state, seed_box, substep
 
 
-def bench(n_devices: int, cfg, state, iters=3):
-    mesh = make_mesh(n_devices)
-    st = shard_sim_state(state, mesh, shard_grid=n_devices > 1)
+def _sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0])[:1]
+
+
+def bench_dense(cfg, state, iters=5):
     fn = jax.jit(lambda s: substep(s, cfg, 1.0 / 60.0)[0])
-    st2 = fn(st)
-    jax.block_until_ready(st2.position)
+    out = fn(state)
+    out = fn(out)
+    _sync(out.position)
     t0 = time.time()
-    out = st2
     for _ in range(iters):
         out = fn(out)
-    np.asarray(out.position[0])  # host fetch = real sync
+    _sync(out.position)
+    return (time.time() - t0) / iters
+
+
+def bench_zshard(cfg, state, n_devices, iters=5):
+    mesh = make_mesh(n_devices)
+    st = zshard_state(state, cfg, mesh)
+    fn = jax.jit(lambda s: substep_z(s, cfg, 1.0 / 60.0, mesh)[0])
+    out = fn(st)
+    out = fn(out)
+    _sync(out.position)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(out)
+    _sync(out.position)
     return (time.time() - t0) / iters
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    cap = 1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 17)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     cfg = SimConfig(
         grid_size=(n, n, n),
         gravity=(0.0, -981.0, 0.0),
-        particle_capacity=cap,
+        particle_capacity=1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 18),
         scheme=TransferScheme.APIC,
         has_obstacles=False,
     )
     state = new_state(cfg, jax.random.PRNGKey(0))
-    state = seed_box(state, cfg, (1.0,) * 3, (n / 2 - 1.0,) * 3)
+    # water wall: thin in x, full in z (z-balanced; testbed setup 3)
+    state = seed_box(state, cfg, (1.0, 1.0, 1.0), (n / 4 - 1.0, n / 2 - 1.0, n - 2.0))
     ndev = len(jax.devices())
-    t1 = bench(1, cfg, state)
-    tn = bench(ndev, cfg, state)
-    eff = t1 / (tn * 1.0)  # same-size problem: speedup vs 1 device
+
+    t1 = bench_dense(cfg, state)
+    tn = bench_zshard(cfg, state, ndev)
+    overhead = tn / t1
     print(
-        f"grid {n}^3  1-dev {t1*1e3:.0f} ms/step   {ndev}-dev {tn*1e3:.0f} ms/step  "
-        f"speedup {t1/tn:.2f}x  efficiency {100*t1/(tn*ndev):.0f}%",
+        f"grid {n}^3  dense-1dev {t1*1e3:.0f} ms/step   zshard-{ndev}dev "
+        f"{tn*1e3:.0f} ms/step   overhead {overhead:.2f}x "
+        f"(timeshared CPU mesh: 1.0x == zero sharding overhead)",
         flush=True,
     )
+    out = {
+        "grid": n,
+        "particles": int(np.asarray(state.active).sum()),
+        "dense_1dev_ms": round(t1 * 1e3, 1),
+        f"zshard_{ndev}dev_ms": round(tn * 1e3, 1),
+        "overhead_x": round(overhead, 3),
+        "note": "timeshared CPU mesh; 1.0x means zero sharding overhead",
+    }
+    print(json.dumps(out))
+    if "--write" in sys.argv:
+        with open(os.path.join(_ROOT, "SCALING_r03.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -90,7 +90,11 @@ class SimConfig:
     # subsample mean in hyper-compressed cells (faces average their first K
     # particles) — a bounded estimator approximation, not a mass leak, since
     # P2G normalizes by total weight. Diagnostics.overflow_count reports it.
-    correction_capacity: int = 8  # slots per cell joining the correction springs
+    correction_capacity: int = 8  # slots per cell joining the dense correction
+    # springs pass. Particles past it (rank >= correction_capacity, incl.
+    # slot overflow) get their spring from a compacted per-particle pass
+    # against the resident field — up to this many per substep:
+    correction_overflow_capacity: int = 16384
     # Static declaration that interior solid cells (obstacles) exist. When
     # False, the collision pass skips the solid march entirely (the domain
     # walls are handled by advection clamping + the skin push-out, which needs
@@ -141,6 +145,7 @@ class SimConfig:
              self.seeding_density, self.enable_position_correction,
              self.enable_collisions,
              self.max_neighbors_per_cell, self.correction_capacity,
+             self.correction_overflow_capacity,
              self.p2g_overflow_capacity,
              self.has_obstacles, self.solver, str(self.dtype)))
 

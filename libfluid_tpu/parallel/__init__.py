@@ -21,6 +21,7 @@ from libfluid_tpu.parallel.shard import (
     sharded_render,
     training_step,
 )
+from libfluid_tpu.parallel.zshard import step_z, substep_z, zshard_state
 
 __all__ = [
     "make_mesh",
@@ -32,4 +33,7 @@ __all__ = [
     "sharded_substep",
     "sharded_render",
     "training_step",
+    "substep_z",
+    "step_z",
+    "zshard_state",
 ]

@@ -82,11 +82,17 @@ def shard_sim_state(
 
 
 def sharded_substep(state: SimState, cfg: SimConfig, dt, mesh: Mesh):
-    """jit-compiled substep whose particle work is 'dp'-sharded and whose
-    grid work (pressure V-cycle/CG stencils, extrapolation, face updates) is
-    z-sharded. GSPMD propagates the input shardings through the whole step."""
-    fn = jax.jit(lambda s: substep(s, cfg, dt))
-    return fn(shard_sim_state(state, mesh))
+    """jit-compiled substep, explicitly sharded: particles owner-distributed
+    by z-slab, grid z-tiled, all communication hand-placed
+    (:mod:`libfluid_tpu.parallel.zshard`). `state` is redistributed first;
+    measured overhead on an 8-device CPU mesh is ~1.1x one device
+    (SCALING_r03.json) vs 11-15x for GSPMD propagation through the dense
+    substep (the round-2 approach)."""
+    from libfluid_tpu.parallel.zshard import substep_z, zshard_state
+
+    st = zshard_state(state, cfg, mesh)
+    fn = jax.jit(lambda s: substep_z(s, cfg, dt, mesh))
+    return fn(st)
 
 
 def sharded_render(

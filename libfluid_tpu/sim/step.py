@@ -49,8 +49,12 @@ class Diagnostics(NamedTuple):
     max_divergence: jnp.ndarray  # post-projection; should be ~0
     particle_count: jnp.ndarray
     substeps: jnp.ndarray
-    # particles past the per-cell slot capacity (max_neighbors_per_cell):
-    # excluded from transfers/correction; nonzero means capacity is too low
+    # particles past the per-cell slot capacity (max_neighbors_per_cell).
+    # P2G still includes them EXACTLY (compacted scatter pass in p2g_slots,
+    # up to p2g_overflow_capacity); position correction covers them with a
+    # compacted per-particle pass (correction.overflow springs). Sustained
+    # nonzero counts mean the slot capacity is undersized for the
+    # compression the scene reaches.
     overflow_count: jnp.ndarray
 
 
