@@ -43,12 +43,27 @@ def bench(name, f, *args):
     return out
 
 
-state2, bins = bench("sort_by_cell", lambda s: binning_mod.sort_by_cell(s, cfg), state)
-slot_grid = bench(
-    "slots.build",
-    lambda s, b: slots_mod.build(s.position, s.velocity, s.affine, b, cfg),
-    state2, bins,
-)
+from libfluid_tpu.sim import slotsort
+
+sb = bench("sort_and_build (fused)", lambda s: slotsort.sort_and_build(s, cfg), state)
+state2, bins, slot_grid = sb.state, sb.bins, sb.slot_grid
+
+# sub-phases of the fused pass
+n = state.position.shape[0]
+import jax.numpy as jnp
+iota = jnp.arange(n, dtype=jnp.int32)
+from libfluid_tpu import grids as grids_mod
+cell = jnp.where(state.active, grids_mod.flat_cell_index(
+    grids_mod.cell_index_of(state.position, cfg), cfg), cfg.num_cells)
+bench("  sort1 key_val", lambda c: jax.lax.sort_key_val(c, iota), cell)
+cols16 = tuple(state.position[:, i] for i in range(3)) + tuple(
+    state.velocity[:, i] for i in range(3)) + tuple(
+    state.affine.reshape(n, 9)[:, i] for i in range(9))
+bench("  sort2 16-op", lambda c, *cs: jax.lax.sort((c,) + cs, num_keys=1), cell, *cols16)
+bench("  segment_sum counts", lambda c: jax.ops.segment_sum(
+    jnp.ones((n,), jnp.int32), c, num_segments=cfg.num_cells + 1,
+    indices_are_sorted=True), cell)
+bench("  key scatter", lambda k, o: jnp.zeros((n,), jnp.int32).at[o].set(k, unique_indices=True), cell, iota)
 uvw = bench(
     "p2g_slots",
     lambda sg, s: transfers.p2g_slots(

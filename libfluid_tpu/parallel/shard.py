@@ -78,6 +78,7 @@ def shard_sim_state(
         sources=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state.sources),
         key=jax.device_put(state.key, rep),
         time=jax.device_put(state.time, rep),
+        pressure=jax.device_put(state.pressure, gsh),
     )
 
 

@@ -252,14 +252,16 @@ def _zdot(a, b):
     return lax.psum(jnp.sum(a * b), AXIS)
 
 
-def _cg_z(levels: ZLevels, b: jnp.ndarray, a_scale, tol, max_iters, precond):
+def _cg_z(levels: ZLevels, b: jnp.ndarray, a_scale, tol, max_iters, precond, x0=None):
     """Sharded mirror of ``pressure._cg``: psum dots, pmax residual."""
     lvl0 = levels.sharded[0] if levels.sharded else None
 
     if lvl0 is None:
         # degenerate: whole grid replicated (tiny z) — fall back to dense CG
         bg = lax.all_gather(b, AXIS, axis=2, tiled=True)
-        res = pressure_mod._cg(levels.dense, bg, a_scale, tol, max_iters, precond)
+        x0g = None if x0 is None else lax.all_gather(x0, AXIS, axis=2, tiled=True)
+        res = pressure_mod._cg(levels.dense, bg, a_scale, tol, max_iters, precond,
+                               x0=x0g)
         i = lax.axis_index(AXIS)
         nzl = b.shape[2]
         return res._replace(
@@ -275,10 +277,14 @@ def _cg_z(levels: ZLevels, b: jnp.ndarray, a_scale, tol, max_iters, precond):
         return _apply_zlevel(lvl0, p) * a_scale
 
     b2 = _zdot(b, b)
-    r0 = b
+    if x0 is None:
+        p0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        p0 = x0 * lvl0.fluid
+        r0 = b - apply_A1(p0)
     z0 = apply_M(r0)
     sigma0 = _zdot(z0, r0)
-    p0 = jnp.zeros_like(b)
     res0 = lax.pmax(jnp.max(jnp.abs(r0)), AXIS)
     nontrivial = b2 >= 1e-6
 
@@ -650,7 +656,7 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
     b = _rhs_local(g, cfg)
     pres = _cg_z(
         levels, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations,
-        cfg.solver.preconditioner,
+        cfg.solver.preconditioner, x0=state.pressure,
     )
     g = _apply_pressure_local(g, pres.pressure, cfg, dt)
 
@@ -732,6 +738,7 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
         ),
         key=key,
         time=state.time + dt,
+        pressure=pres.pressure,
     )
     return new_state, g.w[:, :, -1:], diag
 
@@ -852,7 +859,7 @@ def substep_z(state: SimState, cfg: SimConfig, dt, mesh: Mesh):
         position=pspec, velocity=pspec, affine=pspec, active=pspec,
         grid=grids.MacGrid(u=gspec, v=gspec, w=gspec, cell_type=gspec),
         solid=P(), sources=jax.tree_util.tree_map(lambda _: P(), state.sources),
-        key=P(), time=P(),
+        key=P(), time=P(), pressure=gspec,
     )
 
     mapped = jax.shard_map(

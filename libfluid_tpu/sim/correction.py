@@ -110,6 +110,7 @@ def overflow_springs(
     re2,
     grid_cfg: SimConfig,
     cap: int,
+    trunc_start=None,
 ):
     """Springs for particles OUTSIDE the resident slot window (rank >= KC:
     truncated residents and slot overflow) — a compacted per-particle gather
@@ -130,7 +131,15 @@ def overflow_springs(
     kc = res_mask.shape[0]
     num_cells = int(np.prod(grid_cfg.grid_size))
 
-    idx = jnp.nonzero(truncated, size=cap, fill_value=n)[0]
+    if trunc_start is not None:
+        # slotsort order: rank >= KC rows (rank segments KC.. plus parked
+        # overflow) are one contiguous range starting at trunc_start
+        idx = trunc_start + jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.where(
+            truncated[jnp.minimum(idx, n - 1)] & (idx < n), idx, n
+        )
+    else:
+        idx = jnp.nonzero(truncated, size=cap, fill_value=n)[0]
     ok = idx < n
     safe = jnp.minimum(idx, n - 1)
     p = position[safe]  # (cap, 3)
@@ -172,6 +181,7 @@ def correct_positions(
     cfg: SimConfig,
     dt,
     key,
+    trunc_start=None,
 ) -> jnp.ndarray:
     """Returns corrected particle positions (cell-sorted order, matching the
     slot grid). Resident slots get the dense pairwise pass; truncated/
@@ -200,7 +210,7 @@ def correct_positions(
     truncated = active & (slot_grid.slot_of >= kc * cfg.num_cells)
     oidx, ospring = overflow_springs(
         position, truncated, res_pos, res_mask, re2, cfg,
-        cfg.correction_overflow_capacity,
+        cfg.correction_overflow_capacity, trunc_start=trunc_start,
     )
     n = position.shape[0]
     spring = spring.at[jnp.minimum(oidx, n - 1)].add(

@@ -135,7 +135,7 @@ class PressureResult(NamedTuple):
     iterations: jnp.ndarray  # int32
 
 
-def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond) -> PressureResult:
+def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond, x0=None) -> PressureResult:
     """Preconditioned CG, matrix-free, fixed upper iteration bound.
 
     Mirrors the loop structure of ``pressure_solver::solve``
@@ -159,11 +159,18 @@ def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond) -> PressureRes
         return multigrid.apply_level(lvl0, p) * a_scale
 
     b2 = jnp.sum(b * b)
-    r0 = b
+    if x0 is None:
+        p0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        # warm start from the previous substep's pressure: same solution to
+        # tolerance, fewer iterations (the flow field changes slowly per
+        # CFL-bounded substep)
+        p0 = x0 * lvl0.fluid
+        r0 = b - apply_A1(p0)
     z0 = apply_M(r0)
     s0 = z0
     sigma0 = jnp.sum(z0 * r0)
-    p0 = jnp.zeros_like(b)
     res0 = jnp.max(jnp.abs(r0))
 
     nontrivial = b2 >= 1e-6
@@ -192,21 +199,23 @@ def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond) -> PressureRes
     return PressureResult(pressure=p * lvl0.fluid, residual=res, iterations=iters)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def solve_pressure_system(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def solve_pressure_system(levels, b: jnp.ndarray, a_scale, x0, tol, max_iters, precond):
     """p = A^{-1} b (restricted to fluid cells), differentiable w.r.t. b.
 
     Because A is symmetric, the adjoint of the solve is the same solve
     (implicit function theorem): b_bar = A^{-1} p_bar — one extra CG in the
     backward pass instead of differentiating the iteration. The operator
     masks and a_scale are constants of the solve (zero cotangents): gradients
-    flow through b, a differentiable function of the face velocities.
+    flow through b, a differentiable function of the face velocities. `x0`
+    (warm start) affects only the iteration count, so its cotangent is zero
+    and the backward solve starts cold.
     """
-    return _cg(levels, b, a_scale, tol, max_iters, precond)
+    return _cg(levels, b, a_scale, tol, max_iters, precond, x0=x0)
 
 
-def _solve_fwd(levels, b, a_scale, tol, max_iters, precond):
-    res = _cg(levels, b, a_scale, tol, max_iters, precond)
+def _solve_fwd(levels, b, a_scale, x0, tol, max_iters, precond):
+    res = _cg(levels, b, a_scale, tol, max_iters, precond, x0=x0)
     return res, (levels, a_scale)
 
 
@@ -215,21 +224,29 @@ def _solve_bwd(tol, max_iters, precond, saved, cotangent):
     g = cotangent.pressure  # cotangents of residual/iterations are discarded
     lam = _cg(levels, g * levels[0].fluid, a_scale, tol, max_iters, precond).pressure
     zero_levels = jax.tree_util.tree_map(jnp.zeros_like, levels)
-    return zero_levels, lam, jnp.zeros_like(jnp.asarray(a_scale))
+    return (
+        zero_levels,
+        lam,
+        jnp.zeros_like(jnp.asarray(a_scale)),
+        jnp.zeros_like(levels[0].fluid),
+    )
 
 
 solve_pressure_system.defvjp(_solve_fwd, _solve_bwd)
 
 
-def solve(grid: grids.MacGrid, cfg: SimConfig, dt) -> PressureResult:
+def solve(grid: grids.MacGrid, cfg: SimConfig, dt, x0=None) -> PressureResult:
     """Assemble and solve the pressure system for the current grid state."""
     levels = multigrid.build_levels(grid.cell_type, cfg.dtype)
     a_scale = dt / (cfg.density * cfg.cell_size * cfg.cell_size)
     b = compute_rhs(grid, cfg)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
     return solve_pressure_system(
         levels,
         b,
         a_scale,
+        x0,
         cfg.solver.tolerance,
         cfg.solver.max_iterations,
         cfg.solver.preconditioner,

@@ -57,6 +57,9 @@ class SimState(NamedTuple):
     sources: SourceSet
     key: jnp.ndarray  # jax.random key
     time: jnp.ndarray  # scalar accumulated sim time
+    pressure: jnp.ndarray  # (nx, ny, nz) last substep's pressure — CG warm
+    # start (the reference starts from zero every step, pressure_solver.cpp:30;
+    # warm-starting changes only the iteration count, not the solution)
 
 
 def new_state(cfg: SimConfig, key) -> SimState:
@@ -73,6 +76,7 @@ def new_state(cfg: SimConfig, key) -> SimState:
         sources=empty_sources(),
         key=key,
         time=jnp.zeros((), dt),
+        pressure=jnp.zeros(cfg.grid_size, dt),
     )
 
 

@@ -25,12 +25,11 @@ import jax.numpy as jnp
 
 from libfluid_tpu import grids
 from libfluid_tpu.config import SimConfig, TransferScheme
-from libfluid_tpu.sim import binning as binning_mod
 from libfluid_tpu.sim import collisions as collisions_mod
 from libfluid_tpu.sim import correction as correction_mod
 from libfluid_tpu.sim import extrapolation as extrapolation_mod
 from libfluid_tpu.sim import pressure as pressure_mod
-from libfluid_tpu.sim import slots as slots_mod
+from libfluid_tpu.sim import slotsort
 from libfluid_tpu.sim import sources as sources_mod
 from libfluid_tpu.sim import transfers
 from libfluid_tpu.sim.state import SimState
@@ -107,28 +106,23 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         pos = jnp.where(state.active[:, None], pos, state.position)
         state = state._replace(position=pos)
 
-    # --- sources + binning (physically sorts the particle SoA into cell
-    # order, like the reference's hash_particles sort, simulation.cpp:266) ---
-    state, bins = binning_mod.sort_by_cell(state, cfg)
+    # --- sources + binning + slot grid in one fused pass: the particle SoA
+    # is physically sorted into rank-major slot order (the reference sorts by
+    # cell, simulation.cpp:266 — any order works) and the dense cell-slot
+    # grid every neighborhood pass shares is built by the Pallas monotone-
+    # expand kernel instead of an XLA row scatter (slotsort.py docstring) ---
+    sb = slotsort.sort_and_build(state, cfg)
     if state.sources.cells.shape[0] > 0:  # static: re-bin only if seeding ran
-        state = sources_mod.seed_sources(state, bins.occupancy, cfg)
-        state, bins = binning_mod.sort_by_cell(state, cfg)
+        state = sources_mod.seed_sources(sb.state, sb.bins.occupancy, cfg)
+        sb = slotsort.sort_and_build(state, cfg)
+    state, bins, slot_grid = sb.state, sb.bins, sb.slot_grid
     old_position = state.position
-
-    # --- dense cell-slot grid: the one scatter every neighborhood pass shares ---
-    slot_grid = slots_mod.build(
-        state.position,
-        state.velocity,
-        state.affine if cfg.scheme == TransferScheme.APIC else None,
-        bins,
-        cfg,
-    )
 
     # --- P2G + cell marking (exact: overflow particles merge via a small
     # compacted scatter pass inside p2g_slots) ---
     u, v, w = transfers.p2g_slots(
         slot_grid, state.position, state.velocity, state.affine,
-        state.active, cfg,
+        state.active, cfg, overflow_start=sb.n_kept,
     )
     grid = state.grid._replace(u=u, v=v, w=w)
     grid = grids.mark_cells(grid, bins.occupancy)
@@ -143,16 +137,23 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
     # --- gravity ---
     grid = _add_gravity(grid, cfg, dt)
 
-    # --- pressure projection ---
-    pres = pressure_mod.solve(grid, cfg, dt)
+    # --- pressure projection (warm-started from the previous substep) ---
+    pres = pressure_mod.solve(grid, cfg, dt, x0=state.pressure)
     grid = pressure_mod.apply_pressure(grid, pres.pressure, cfg, dt)
 
     # --- position correction + collisions ---
     key = state.key
     if cfg.enable_position_correction:
         key, sub = jax.random.split(key)
+        # rank >= correction_capacity rows start right after the kept rows of
+        # the lower rank segments (slotsort order is rank-major)
+        kc = min(cfg.correction_capacity, slot_grid.capacity)
+        trunc_start = jnp.sum(
+            jnp.minimum(bins.cell_count, kc), dtype=jnp.int32
+        )
         pos = correction_mod.correct_positions(
-            state.position, state.active, slot_grid, cfg, dt, sub
+            state.position, state.active, slot_grid, cfg, dt, sub,
+            trunc_start=trunc_start,
         )
         state = state._replace(position=pos)
     if cfg.enable_collisions:
@@ -178,7 +179,8 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
     affine = jnp.where(state.active[:, None, None], affine, state.affine)
 
     state = state._replace(
-        velocity=vel, affine=affine, grid=grid, key=key, time=state.time + dt
+        velocity=vel, affine=affine, grid=grid, key=key, time=state.time + dt,
+        pressure=pres.pressure,
     )
 
     # --- diagnostics ---

@@ -227,6 +227,7 @@ def p2g_slots(
     affine: jnp.ndarray,
     active: jnp.ndarray,
     cfg: SimConfig,
+    overflow_start=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense particle-to-grid transfer from the cell-slot grid — EXACT.
 
@@ -257,7 +258,15 @@ def p2g_slots(
     n = position.shape[0]
     cap = min(max(256, cfg.p2g_overflow_capacity), n)
     use_affine = cfg.scheme == TransferScheme.APIC
-    idx = jnp.nonzero(slot_grid.overflow, size=cap, fill_value=n)[0]
+    if overflow_start is not None:
+        # slotsort parks overflow rows contiguously at [n_kept, n_kept+n_ov):
+        # the compaction is a static window, no nonzero scan needed
+        idx = overflow_start + jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.where(
+            slot_grid.overflow[jnp.minimum(idx, n - 1)] & (idx < n), idx, n
+        )
+    else:
+        idx = jnp.nonzero(slot_grid.overflow, size=cap, fill_value=n)[0]
     ok = idx < n
     safe = jnp.minimum(idx, n - 1)
     pos_o = position[safe]

@@ -130,8 +130,8 @@ def test_pressure_vjp_is_adjoint_solve():
 
     def scalar(b):
         res = pressure.solve_pressure_system(
-            levels, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations,
-            cfg.solver.preconditioner,
+            levels, b, a_scale, jnp.zeros_like(b), cfg.solver.tolerance,
+            cfg.solver.max_iterations, cfg.solver.preconditioner,
         )
         return jnp.sum(res.pressure**2)
 
