@@ -58,7 +58,12 @@ def ray_unit_sphere(origin, direction):
     c = jnp.sum(origin * origin, axis=-1) - 1.0
     disc = b * b - 4.0 * a * c
     has_root = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where: sqrt'(0) is inf, and `maximum` routes disc < 0 lanes to
+    # exactly 0 — the 0-cotangent times inf NaNs every VJP that passes
+    # through the ray chain (differentiable-geometry rendering)
+    sq = jnp.where(
+        has_root, jnp.sqrt(jnp.where(has_root, disc, 1.0)), 0.0
+    )
     t_near = (-b - sq) / (2.0 * a)
     t_far = (-b + sq) / (2.0 * a)
     t = jnp.where(t_near > 0.0, t_near, t_far)

@@ -41,7 +41,11 @@ def _tri_chunks(scene: Scene):
         return jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
         ) if pad else x
-    p0 = padarr(scene.tri_p0, 1e30)
+    # pad rows are zero-area (e1 = e2 = 0) and never hit (det = 0); p0 must
+    # stay finite — a 1e30 fill rides into tvec = origin - p0 and blows up
+    # the backward cross-product Jacobians (inf * 0 = NaN) when triangle
+    # geometry is differentiated (the mesher-in-the-loop chain)
+    p0 = padarr(scene.tri_p0)
     e1 = padarr(scene.tri_e1)
     e2 = padarr(scene.tri_e2)
     n = (t + pad) // TRI_CHUNK
@@ -114,11 +118,18 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
             scene, origin, direction, t_max
         )
 
-    # spheres: transform to local, hit unit sphere (primitive.cpp:59-135)
+    # spheres: transform to local, hit unit sphere (primitive.cpp:59-135).
+    # Padding spheres (the no-sphere sentinel at translation 1e30) are masked
+    # by their reserved null material; the clip keeps |o_loc|^2 finite so the
+    # quadratic never produces inf - inf = NaN — a forward NaN there poisons
+    # the VJP of every ray whose origin depends on scene geometry (the
+    # mesher-in-the-loop gradient chain).
     stl = scene.sph_to_local  # (S, 3, 4)
     o_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], origin) + stl[None, :, :, 3]
+    o_loc = jnp.clip(o_loc, -1e15, 1e15)
     d_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], direction)
     sh, st = isect.ray_unit_sphere(o_loc, d_loc)
+    sh = sh & (scene.sph_mat > 0)[None, :]
     st = jnp.where(sh, st, _BIG)
     sj = jnp.argmin(st, axis=1)
     s_t = jnp.take_along_axis(st, sj[:, None], axis=1)[:, 0]
@@ -140,9 +151,13 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
     safe_sid = jnp.clip(sj, 0)
     # sphere normal: local hit point through inverse-transpose of to_world's
     # linear part == to_local^T applied to the local normal
+    # miss lanes carry s_t = _BIG: clamp before forming the local hit point,
+    # or arctan2(inf, inf) in the uv math emits NaN derivatives that survive
+    # the zero cotangent of the where-mask below
+    s_t_lp = jnp.minimum(s_t, 1e12)
     lp = jnp.take_along_axis(o_loc, sj[:, None, None], axis=1)[:, 0] + jnp.take_along_axis(
         d_loc, sj[:, None, None], axis=1
-    )[:, 0] * s_t[:, None]
+    )[:, 0] * s_t_lp[:, None]
     a_loc = scene.sph_to_local[safe_sid][:, :, :3]
     sph_n = jnp.einsum("rji,rj->ri", a_loc, lp)  # A^T * local_normal
     sph_n = sph_n / jnp.maximum(
@@ -156,7 +171,9 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
 
     # uv: barycentric for tris, spherical for spheres (primitive.cpp:47-56,120-135)
     phi = jnp.arctan2(lp[:, 2], lp[:, 0])
-    theta = jnp.arccos(jnp.clip(lp[:, 1], -1.0, 1.0))
+    # clip strictly inside (-1, 1): arccos' is infinite at the endpoints, and
+    # miss lanes land exactly on the clip boundary, NaN-ing the VJP (0 * inf)
+    theta = jnp.arccos(jnp.clip(lp[:, 1], -1.0 + 1e-6, 1.0 - 1e-6))
     sph_uv = jnp.stack([phi / (2 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1)
     tri_uv = jnp.stack([tri_u, tri_v], axis=-1)
     uv = jnp.where(use_sphere[:, None], sph_uv, tri_uv)
@@ -201,6 +218,11 @@ def tangent_frame(normal: jnp.ndarray) -> jnp.ndarray:
         ),
     )
     x = jnp.cross(normal, axis)
+    # a zero normal (degenerate geometry) makes |x| = 0, whose normalize has
+    # a NaN derivative even under a zero cotangent — route through a unit
+    # placeholder instead
+    ok = jnp.sum(x * x, axis=-1, keepdims=True) > 1e-24
+    x = jnp.where(ok, x, jnp.asarray([1.0, 0.0, 0.0], normal.dtype))
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
     z = jnp.cross(x, normal)
     return jnp.stack([x, normal, z], axis=-2)

@@ -179,7 +179,10 @@ def sample_bsdf(
     eta = eta_in / eta_out
     sin2_out = (1.0 - cos_in * cos_in) * eta * eta
     tir = sin2_out >= 1.0
-    cos_out = jnp.sqrt(jnp.maximum(1.0 - sin2_out, 0.0))
+    # double-where against sqrt'(0) = inf on TIR lanes (0-cot * inf = NaN)
+    cos_out = jnp.where(
+        tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sin2_out))
+    )
     fres = jnp.where(tir, 1.0, fresnel_dielectric(cos_in, cos_out, eta_in, eta_out))
     refract = (xi[..., 0] > fres) & ~tir
     d_refr = -eta[..., None] * win

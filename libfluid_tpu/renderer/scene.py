@@ -221,6 +221,52 @@ class SceneBuilder:
         )
 
 
+def inject_mesh(scene: Scene, vertices, valid, material: int) -> Scene:
+    """Append a device-resident triangle soup to a scene, differentiably.
+
+    The reference rebuilds the scene per frame on the host (mesher thread ->
+    ``scene::add_mesh_entity``, ``testbed/main.cpp:363-401``); here the
+    triangles stay on device and the update is pure jnp, so gradients flow
+    from rendered pixels through the triangle vertices — the missing link of
+    the pixels -> marching-cubes surface -> particle positions chain
+    (BASELINE "pixel-grad allclose", ref ``mesher.cpp:378-392``).
+
+    `vertices` is (T, 3, 3) (rows = the 3 triangle vertices, e.g.
+    ``MeshBuffers.vertices``); `valid` is (T,) bool. Invalid rows get the
+    null material and a zero normal — zero-area triangles never intersect
+    (NaN-t = miss, ref ``intersection.h:26-28``). The injected mesh is
+    assumed non-emissive (fluid surfaces), so the light list is unchanged;
+    any scene accelerator is dropped (it indexes the old triangle array).
+    """
+    p0 = vertices[:, 0]
+    e1 = vertices[:, 1] - vertices[:, 0]
+    e2 = vertices[:, 2] - vertices[:, 0]
+    cr = jnp.cross(e1, e2)
+    # degenerate (zero-area) rows: route the normalize through a unit
+    # placeholder — d|cr|/dcr at cr=0 is NaN, and 0 * NaN poisons the VJP.
+    # Covers invalid rows AND valid-but-degenerate MC output (edge vertex
+    # exactly on a cube corner); such triangles never intersect anyway.
+    ok = jnp.sum(cr * cr, axis=-1, keepdims=True) > 1e-20
+    safe = jnp.where(ok, cr, jnp.asarray([1.0, 0.0, 0.0], cr.dtype))
+    ln = jnp.linalg.norm(safe, axis=-1, keepdims=True)
+    # degenerate rows keep the builder's unit-Y padding normal — a zero
+    # normal NaNs the shading-frame math downstream
+    unit_y = jnp.asarray([0.0, 1.0, 0.0], cr.dtype)
+    nrm = jnp.where(ok, safe / jnp.maximum(ln, 1e-30), unit_y)
+    validf = valid[:, None].astype(p0.dtype)
+    mats = jnp.where(valid, jnp.int32(material), 0)
+    return scene._replace(
+        tri_p0=jnp.concatenate([scene.tri_p0, p0 * validf]),
+        tri_e1=jnp.concatenate([scene.tri_e1, e1 * validf]),
+        tri_e2=jnp.concatenate([scene.tri_e2, e2 * validf]),
+        tri_normal=jnp.concatenate(
+            [scene.tri_normal, jnp.where(valid[:, None], nrm, unit_y)]
+        ),
+        tri_mat=jnp.concatenate([scene.tri_mat, mats]),
+        accel=None,
+    )
+
+
 # unit geometry factories (ref test_scenes.cpp:10-53)
 
 def unit_plane():
