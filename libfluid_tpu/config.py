@@ -179,8 +179,19 @@ class RenderConfig:
     max_camera_bounces: int = 6  # BDPT camera subpath cap (ref bdpt.h:19; ref uses 15)
     max_light_bounces: int = 6  # BDPT light subpath cap (ref bdpt.h:21)
     ray_batch: int = 1 << 15  # rays traced per wavefront batch
+    # Russian roulette: from this bounce on, paths survive with probability
+    # max(throughput) (clamped to >= rr_floor) and are reweighted — unbiased
+    # dead-lane elimination the reference lacks (path_tracer.cpp has none).
+    # Set >= max_bounces to disable.
+    rr_start: int = 3
+    rr_floor: float = 0.05
+    # scan-based bounce driver (reverse-differentiable). False switches to a
+    # while_loop that exits as soon as every lane is dead — faster inference/
+    # benchmarking, but jax.grad through render() then fails loudly.
+    differentiable: bool = True
 
     def __hash__(self):
         return hash((self.width, self.height, self.samples_per_pixel,
                      self.algorithm, self.max_bounces, self.max_camera_bounces,
-                     self.max_light_bounces, self.ray_batch))
+                     self.max_light_bounces, self.ray_batch, self.rr_start,
+                     self.rr_floor, self.differentiable))

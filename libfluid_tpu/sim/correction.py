@@ -196,32 +196,19 @@ def correct_positions(
     springs = _springs(res_pos, res_mask, key, re2, cfg)
 
     # slot springs -> particles (slot index rank*num_cells + cell is
-    # unchanged by slicing ranks < KC). Three scalar gathers cost ~12 ns per
-    # element on TPU (~72 ms at 2M particles); instead pack all KC slots'
-    # springs of a cell into one 128-byte row — (C, KC*4) with channel
-    # ch = rank*4 + xyz — fetch ONE row per particle by CELL id, and pick the
-    # particle's rank with a one-hot on the VPU. Aligned wide rows amortize
-    # the gather descriptor ~3-4x.
-    from libfluid_tpu.sim.transfers import _transpose_major
-
-    num_cells = cfg.num_cells
-    m = kc * num_cells
-    s4 = jnp.concatenate(
-        [springs.reshape(3, kc, num_cells),
-         jnp.zeros((1, kc, num_cells), springs.dtype)], axis=0
-    )  # (4, KC, C)
-    tbl = _transpose_major(
-        jnp.swapaxes(s4, 0, 1).reshape(4 * kc, num_cells)
-    )  # (C, KC*4); row c = [rank r: (sx, sy, sz, 0)]
-    slot = slot_grid.slot_of
-    valid = slot < m
-    cell = jnp.where(valid, slot % num_cells, 0)
-    rank = jnp.where(valid, slot // num_cells, 0)
-    rows = tbl[cell].reshape(-1, kc, 4)  # (N, KC, 4)
-    sel = jax.nn.one_hot(rank, kc, dtype=rows.dtype) * valid[:, None].astype(
-        rows.dtype
+    # unchanged by slicing ranks < KC). Measured on-chip: three scalar
+    # gathers at ~36 ms / 2M beat every row-packed variant tried ((N,32)
+    # cell rows + one-hot rank select gathers at 80 ms — TPU row gathers
+    # from multi-hundred-MB tables run SLOWER per element than scalar ones).
+    spring = slots_mod.gather_per_particle(
+        springs, slot_grid._replace(
+            slot_of=jnp.where(
+                slot_grid.slot_of < kc * cfg.num_cells,
+                slot_grid.slot_of,
+                kc * cfg.num_cells,
+            )
+        )
     )
-    spring = jnp.einsum("nkc,nk->nc", rows, sel)[:, :3]
 
     truncated = active & (slot_grid.slot_of >= kc * cfg.num_cells)
     oidx, ospring = overflow_springs(
