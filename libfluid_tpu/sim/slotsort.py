@@ -179,6 +179,22 @@ def _expand_bwd(block, res, g):
 _expand.defvjp(_expand_fwd, _expand_bwd)
 
 
+class RankSorted(NamedTuple):
+    """Particle SoA in rank-major slot order plus everything a (full- or
+    slab-wise) slot-grid expansion needs."""
+
+    state: object            # SimState, particle arrays permuted
+    counts: jnp.ndarray      # (C,) particles per cell (uncapped)
+    ins: jnp.ndarray         # (K*C,) exclusive cumsum of the kept mask —
+    #                          the sorted-payload row of each (rank, cell)
+    key_sorted: jnp.ndarray  # (N,) rank-major slot id; >= K*C parked
+    n_kept: jnp.ndarray      # int32 scalar
+    n_overflow: jnp.ndarray  # int32 scalar; overflow rows occupy
+    #                          [n_kept, n_kept + n_overflow)
+    payT: jnp.ndarray        # (16, N + pad) transposed sorted payload
+    #                          (pos, 1, vel, affine rows)
+
+
 class SortBuildResult(NamedTuple):
     state: object            # SimState with particle arrays in slot order
     bins: Binning            # occupancy/counts (cell_of in the NEW order)
@@ -188,13 +204,10 @@ class SortBuildResult(NamedTuple):
     #                          range [n_kept, n_kept + n_overflow))
 
 
-def sort_and_build(state, cfg: SimConfig) -> SortBuildResult:
-    """Sort the particle SoA into rank-major slot order and build the slot
-    grid in one fused pass. Semantically equals ``binning.sort_by_cell``
-    followed by ``slots.build`` up to the (arbitrary) particle permutation:
-    the reference's sort order (``simulation.cpp:266-291``) is cell-major,
-    this one is slot-major; every downstream consumer is order-independent.
-    """
+def sort_rank_major(state, cfg: SimConfig, pad_cols: int) -> RankSorted:
+    """Sort the particle SoA into rank-major slot order (two ``lax.sort``
+    calls — see module docstring) without building any slot grid.
+    `pad_cols` zero columns are appended to ``payT`` for window overrun."""
     n = state.position.shape[0]
     num_cells = cfg.num_cells
     k = cfg.max_neighbors_per_cell
@@ -240,46 +253,73 @@ def sort_and_build(state, cfg: SimConfig) -> SortBuildResult:
     n_kept = jnp.sum(kept_s.astype(jnp.int32))
     n_overflow = jnp.sum(over_s.astype(jnp.int32))
     active = iota < (n_kept + n_overflow)
-    slot_of = jnp.minimum(key_sorted, kc)
-    overflow = (key_sorted >= kc) & (key_sorted < kc + n)
 
-    # --- expansion deltas: insertion position per rank-major slot ---
-    block = _pick_block(num_cells)
-    use_affine = cfg.scheme == TransferScheme.APIC
     kr = (counts[None, :] > jnp.arange(k, dtype=jnp.int32)[:, None]).reshape(-1)
     ins = jnp.cumsum(kr.astype(jnp.int32)) - kr.astype(jnp.int32)  # exclusive
-    if block is None:
-        # no viable block tiling: jnp oracle over one "block"
-        delta = jnp.arange(kc, dtype=jnp.int32) - ins
-        delta = jnp.where(kr, delta, delta | INV)
-        w0 = jnp.zeros((1,), jnp.int32)
-        blk = kc
-    else:
-        ins2 = ins.reshape(-1, block)
-        delta = (
-            jax.lax.broadcasted_iota(jnp.int32, ins2.shape, 1)
-            - (ins2 - ins2[:, :1])
-        ).reshape(-1)
-        delta = jnp.where(kr, delta, delta | INV)
-        w0 = ins2[:, 0].astype(jnp.int32)
-        blk = block
 
+    use_affine = cfg.scheme == TransferScheme.APIC
     mask_col = jnp.ones((n, 1), cfg.dtype)
     aff_cols = aff.reshape(n, 9) if use_affine else jnp.zeros((n, 9), cfg.dtype)
     payT = jnp.concatenate([pos, mask_col, vel, aff_cols], axis=1).T  # (16, N)
     payT = jnp.concatenate(
-        [payT, jnp.zeros((WIDTH, blk + 2 * PAD), cfg.dtype)], axis=1
+        [payT, jnp.zeros((WIDTH, pad_cols), cfg.dtype)], axis=1
     )
 
-    flat = _expand(payT, delta, w0, blk)  # (16, K*C) rank-major
+    state = state._replace(position=pos, velocity=vel, affine=aff, active=active)
+    return RankSorted(
+        state=state, counts=counts, ins=ins, key_sorted=key_sorted,
+        n_kept=n_kept, n_overflow=n_overflow, payT=payT,
+    )
+
+
+def expand_range(rs: RankSorted, cfg: SimConfig, c0, num_c: int, block: int):
+    """Slot payload (16, K, num_c) for the cell range [c0, c0 + num_c)
+    (c0 dynamic, num_c/block static; block | num_c). The per-rank source
+    rows are contiguous windows of ``rs.payT`` given by ``rs.ins``."""
+    k = cfg.max_neighbors_per_cell
+    num_cells = cfg.num_cells
+    ins2 = rs.ins.reshape(k, num_cells)
+    ins_s = jax.lax.dynamic_slice(ins2, (0, c0), (k, num_c))  # (K, num_c)
+    cnt_s = jax.lax.dynamic_slice(rs.counts, (c0,), (num_c,))
+    kr_s = cnt_s[None, :] > jnp.arange(k, dtype=jnp.int32)[:, None]
+
+    insf = ins_s.reshape(-1, block)
+    delta = (
+        jax.lax.broadcasted_iota(jnp.int32, insf.shape, 1)
+        - (insf - insf[:, :1])
+    ).reshape(-1)
+    delta = jnp.where(kr_s.reshape(-1), delta, delta | INV)
+    w0 = insf[:, 0].astype(jnp.int32)
+    flat = _expand(rs.payT, delta, w0, block)  # (16, K*num_c)
+    return flat.reshape(WIDTH, k, num_c)
+
+
+def sort_and_build(state, cfg: SimConfig) -> SortBuildResult:
+    """Sort the particle SoA into rank-major slot order and build the slot
+    grid in one fused pass. Semantically equals ``binning.sort_by_cell``
+    followed by ``slots.build`` up to the (arbitrary) particle permutation:
+    the reference's sort order (``simulation.cpp:266-291``) is cell-major,
+    this one is slot-major; every downstream consumer is order-independent.
+    """
+    num_cells = cfg.num_cells
+    k = cfg.max_neighbors_per_cell
+    kc = num_cells * k
+    block = _pick_block(num_cells)
+    blk = kc if block is None else block
+
+    rs = sort_rank_major(state, cfg, pad_cols=blk + 2 * PAD)
+    flat = expand_range(rs, cfg, jnp.int32(0), num_cells, blk)
     nx, ny, nz = cfg.grid_size
     data = flat.reshape(WIDTH, k, nx, ny, nz)
 
-    state = state._replace(position=pos, velocity=vel, affine=aff, active=active)
+    n = rs.key_sorted.shape[0]
+    slot_of = jnp.minimum(rs.key_sorted, kc)
+    overflow = (rs.key_sorted >= kc) & (rs.key_sorted < kc + n)
+    counts = rs.counts
     bins = Binning(
-        order=iota,
-        cell_of=jnp.where(active, grids.flat_cell_index(
-            grids.cell_index_of(pos, cfg), cfg), num_cells),
+        order=jnp.arange(n, dtype=jnp.int32),
+        cell_of=jnp.where(rs.state.active, grids.flat_cell_index(
+            grids.cell_index_of(rs.state.position, cfg), cfg), num_cells),
         cell_start=jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(counts, dtype=jnp.int32)[:-1]]
@@ -289,6 +329,6 @@ def sort_and_build(state, cfg: SimConfig) -> SortBuildResult:
     )
     slot_grid = SlotGrid(data=data, slot_of=slot_of, overflow=overflow)
     return SortBuildResult(
-        state=state, bins=bins, slot_grid=slot_grid,
-        n_kept=n_kept, n_overflow=n_overflow,
+        state=rs.state, bins=bins, slot_grid=slot_grid,
+        n_kept=rs.n_kept, n_overflow=rs.n_overflow,
     )

@@ -465,11 +465,13 @@ def g2p_pic(
     rows on TPU, and one fused gather beats three per-axis ones ~6x again
     (measured at 2M particles / 128^3).
     """
-    cell3 = grids.cell_index_of(position, cfg)
-    dims = jnp.asarray(cfg.grid_size, jnp.int32)
-    cell3c = jnp.clip(cell3, 0, dims - 1)
-    cell_flat = grids.flat_cell_index(cell3c, cfg)  # C order = table row order
+    table = build_g2p_table(grid, cfg)
+    return g2p_from_table(table, position, cfg)
 
+
+def build_g2p_table(grid: grids.MacGrid, cfg: SimConfig) -> jnp.ndarray:
+    """(C, 64) per-cell sample table: the 54 statically-shifted face samples
+    of all 3 axes' 18 cell-relative offsets, zero-padded to 64 columns."""
     tables = [
         _stacked_shifts(arr, _cell_offsets(axis), axis)
         for axis, arr in enumerate((grid.u, grid.v, grid.w))
@@ -483,7 +485,17 @@ def g2p_pic(
     # assignment bitcasts the transpose and pushes the layout change up into
     # the concatenate, copying every slice as f32[1,C] with 128x lane padding
     # (~20 GB of HLO temps at 128^3 — the round-1 OOM, BENCH_r01).
-    table = _transpose_major(table)  # (C, 64); rows 256B-aligned
+    return _transpose_major(table)  # (C, 64); rows 256B-aligned
+
+
+def g2p_from_table(
+    table: jnp.ndarray, position: jnp.ndarray, cfg: SimConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-particle velocity + APIC affine from a prebuilt sample table."""
+    cell3 = grids.cell_index_of(position, cfg)
+    dims = jnp.asarray(cfg.grid_size, jnp.int32)
+    cell3c = jnp.clip(cell3, 0, dims - 1)
+    cell_flat = grids.flat_cell_index(cell3c, cfg)  # C order = table row order
     samples_all = table[cell_flat]  # (N, 64) ONE aligned row gather
 
     vals = []
