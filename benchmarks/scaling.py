@@ -66,12 +66,11 @@ def bench_zshard(cfg, state, n_devices, iters=5):
     return (time.time() - t0) / iters
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+def run_one(n, cap_log2, iters=5):
     cfg = SimConfig(
         grid_size=(n, n, n),
         gravity=(0.0, -981.0, 0.0),
-        particle_capacity=1 << (int(sys.argv[2]) if len(sys.argv) > 2 else 18),
+        particle_capacity=1 << cap_log2,
         scheme=TransferScheme.APIC,
         has_obstacles=False,
     )
@@ -80,8 +79,8 @@ def main():
     state = seed_box(state, cfg, (1.0, 1.0, 1.0), (n / 4 - 1.0, n / 2 - 1.0, n - 2.0))
     ndev = len(jax.devices())
 
-    t1 = bench_dense(cfg, state)
-    tn = bench_zshard(cfg, state, ndev)
+    t1 = bench_dense(cfg, state, iters)
+    tn = bench_zshard(cfg, state, ndev, iters)
     overhead = tn / t1
     print(
         f"grid {n}^3  dense-1dev {t1*1e3:.0f} ms/step   zshard-{ndev}dev "
@@ -89,17 +88,33 @@ def main():
         f"(timeshared CPU mesh: 1.0x == zero sharding overhead)",
         flush=True,
     )
-    out = {
+    return {
         "grid": n,
         "particles": int(np.asarray(state.active).sum()),
         "dense_1dev_ms": round(t1 * 1e3, 1),
         f"zshard_{ndev}dev_ms": round(tn * 1e3, 1),
         "overhead_x": round(overhead, 3),
+    }
+
+
+def main():
+    # default sweep: 64^3 AND the production bench scale 128^3 (VERDICT r3
+    # next #10: the 64^3 point says little about 128^3)
+    grids = (
+        [(int(sys.argv[1]), int(sys.argv[2]) if len(sys.argv) > 2 else 18)]
+        if len(sys.argv) > 1 and sys.argv[1].isdigit()
+        else [(64, 18), (128, 21)]
+    )
+    points = [
+        run_one(n, c, iters=3 if n >= 128 else 5) for n, c in grids
+    ]
+    out = {
+        "points": points,
         "note": "timeshared CPU mesh; 1.0x means zero sharding overhead",
     }
     print(json.dumps(out))
     if "--write" in sys.argv:
-        with open(os.path.join(_ROOT, "SCALING_r03.json"), "w") as f:
+        with open(os.path.join(_ROOT, "SCALING_r04.json"), "w") as f:
             json.dump(out, f, indent=1)
 
 

@@ -95,6 +95,11 @@ class SimConfig:
     # slot overflow) get their spring from a compacted per-particle pass
     # against the resident field — up to this many per substep:
     correction_overflow_capacity: int = 16384
+    # z-shard particle-exchange ring-buffer capacity per direction (rows a
+    # device can send up/down per substep). 0 = auto (half the device block).
+    # Overfilling it LOSES particles (counted in Diagnostics.particles_lost,
+    # never silently) — tests lower it to drive the failure edge.
+    exchange_capacity: int = 0
     # Static declaration that interior solid cells (obstacles) exist. When
     # False, the collision pass skips the solid march entirely (the domain
     # walls are handled by advection clamping + the skin push-out, which needs
@@ -146,7 +151,7 @@ class SimConfig:
              self.enable_collisions,
              self.max_neighbors_per_cell, self.correction_capacity,
              self.correction_overflow_capacity,
-             self.p2g_overflow_capacity,
+             self.p2g_overflow_capacity, self.exchange_capacity,
              self.has_obstacles, self.solver, str(self.dtype)))
 
 

@@ -36,7 +36,12 @@ class HitRecord(NamedTuple):
 
 def _tri_chunks(scene: Scene):
     t = scene.tri_p0.shape[0]
-    pad = (-t) % TRI_CHUNK
+    # adapt the chunk width to the scene: the canned few-triangle scenes
+    # (Cornell: 36 tris) otherwise pay for a full 512-wide lane pad on every
+    # ray x chunk product — 14x wasted Moller-Trumbore work per cast. 128 is
+    # the f32 lane tile, so smaller pads buy nothing.
+    chunk = min(TRI_CHUNK, -(-t // 128) * 128) if t else TRI_CHUNK
+    pad = (-t) % chunk
     def padarr(x, fill=0.0):
         return jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
@@ -48,11 +53,11 @@ def _tri_chunks(scene: Scene):
     p0 = padarr(scene.tri_p0)
     e1 = padarr(scene.tri_e1)
     e2 = padarr(scene.tri_e2)
-    n = (t + pad) // TRI_CHUNK
+    n = (t + pad) // chunk
     return (
-        p0.reshape(n, TRI_CHUNK, 3),
-        e1.reshape(n, TRI_CHUNK, 3),
-        e2.reshape(n, TRI_CHUNK, 3),
+        p0.reshape(n, chunk, 3),
+        e1.reshape(n, chunk, 3),
+        e2.reshape(n, chunk, 3),
         n,
     )
 

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 from libfluid_tpu.config import RenderConfig
 from libfluid_tpu.renderer import bdpt as bdpt_mod
 from libfluid_tpu.renderer.camera import Camera
-from libfluid_tpu.renderer.pathtrace import trace_rays as trace_rays_pt
+from libfluid_tpu.renderer.pathtrace import (
+    trace_persistent,
+    trace_rays as trace_rays_pt,
+)
 from libfluid_tpu.renderer.scene import Scene
 
 
@@ -23,6 +26,13 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig, key) -> jnp.ndarray:
     """Render an (H, W, 3) radiance image with cfg.samples_per_pixel jittered
     samples (``render_naive``, ``rendering.h:43-66``). ``cfg.algorithm``
     picks the integrator, like the reference testbed's tracer switch."""
+    if cfg.algorithm != "bdpt" and not cfg.differentiable:
+        # forward-only PT: persistent-threads wavefront — dead lanes respawn
+        # the next pixel sample instead of idling, so wall-clock follows rays
+        # actually cast (pathtrace.trace_persistent). Same estimator.
+        img = trace_persistent(scene, camera, cfg, key)
+        return img / cfg.samples_per_pixel
+
     trace_rays = (
         bdpt_mod.trace_rays if cfg.algorithm == "bdpt" else trace_rays_pt
     )

@@ -34,10 +34,17 @@ from libfluid_tpu.sim import extrapolation as extrapolation_mod
 from libfluid_tpu.sim import pressure as pressure_mod
 from libfluid_tpu.sim import slots as slots_mod
 from libfluid_tpu.sim import slotsort
+from libfluid_tpu.sim import sources as sources_mod
 from libfluid_tpu.sim import transfers
 from libfluid_tpu.sim.slotsort import PAD, _pick_block
 from libfluid_tpu.sim.state import SimState
 from libfluid_tpu.sim.step import Diagnostics, _add_gravity, _advect
+
+# Cells above which _g2p_tiled streams the sample table slab-by-slab instead
+# of building it in one shot. Module-level so tests can lower it to force the
+# tiled path on small grids (ADVICE r3: the 24x16x16 equivalence tests only
+# exercised the one-shot branch).
+_G2P_TILED_THRESHOLD = 1 << 21
 
 
 def _slab_cfg(cfg: SimConfig, sx: int) -> SimConfig:
@@ -53,7 +60,16 @@ def _slab_cfg(cfg: SimConfig, sx: int) -> SimConfig:
 def substep_tiled(
     state: SimState, cfg: SimConfig, dt, slabs: int
 ) -> Tuple[SimState, Diagnostics]:
-    """One time step of size dt, neighborhood passes tiled over x-slabs."""
+    """One time step of size dt, neighborhood passes tiled over x-slabs.
+
+    Stage semantics match :func:`libfluid_tpu.sim.step.substep` for PIC and
+    APIC; FLIP is rejected (the tiled G2P has no old-grid blend — it would
+    silently degrade to PIC physics otherwise).
+    """
+    assert cfg.scheme != TransferScheme.FLIP, (
+        "FLIP unsupported in tiled path (no old-grid blend in _g2p_tiled); "
+        "use PIC or APIC"
+    )
     nx, ny, nz = cfg.grid_size
     assert nx % slabs == 0, "slabs must divide nx"
     sx = nx // slabs
@@ -75,10 +91,15 @@ def substep_tiled(
         )
         pos = jnp.where(state.active[:, None], pos, state.position)
         state = state._replace(position=pos)
-    assert state.sources.cells.shape[0] == 0, "sources unsupported in tiled path"
-
-    # --- global rank-major sort (no dense slot grid) ---
+    # --- sources: seed back to target density using the pre-sort occupancy,
+    # then re-sort (mirrors step.substep's seed + re-bin; statically skipped
+    # when no sources exist). Coercion already ran inside _advect. ---
     rs = slotsort.sort_rank_major(state, cfg, pad_cols=blk + 2 * PAD)
+    if state.sources.cells.shape[0] > 0:
+        state = sources_mod.seed_sources(
+            rs.state, rs.counts.reshape(cfg.grid_size), cfg
+        )
+        rs = slotsort.sort_rank_major(state, cfg, pad_cols=blk + 2 * PAD)
     state = rs.state
     old_position = state.position
     n = state.position.shape[0]
@@ -347,7 +368,7 @@ def _g2p_tiled(grid, state, rs, cfg: SimConfig, slabs: int):
     particles in fixed-size chunks (bounding the per-chunk gather/weight
     temporaries). Semantics identical to ``transfers.g2p_pic``."""
     nx, ny, nz = cfg.grid_size
-    if cfg.num_cells <= (1 << 21):  # small grids: one-shot build is fine
+    if cfg.num_cells <= _G2P_TILED_THRESHOLD:  # small grids: one-shot build
         return transfers.g2p_pic(grid, state.position, cfg)
 
     n = state.position.shape[0]

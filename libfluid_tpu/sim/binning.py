@@ -22,7 +22,18 @@ from libfluid_tpu.config import SimConfig
 
 
 class Binning(NamedTuple):
-    order: jnp.ndarray  # (N,) particle ids sorted by cell
+    """Cell-index structure over the particle SoA.
+
+    VALIDITY CAVEAT: ``order``/``cell_start`` describe cell-contiguous runs
+    and are only meaningful when produced by :func:`bin_particles` /
+    :func:`sort_by_cell`. ``slotsort.sort_and_build`` permutes the SoA into
+    RANK-major order (all rank-0 particles of every cell first), where no
+    cell-contiguous runs exist — a Binning from that path carries valid
+    ``cell_of``/``cell_count``/``occupancy`` only; neighbor access there goes
+    through the SlotGrid, not :func:`gather_neighbors`.
+    """
+
+    order: jnp.ndarray  # (N,) particle ids sorted by cell (see caveat above)
     cell_of: jnp.ndarray  # (N,) flat cell id per particle (sentinel = num_cells)
     cell_start: jnp.ndarray  # (C,) index into `order` of each cell's first particle
     cell_count: jnp.ndarray  # (C,) particles per cell

@@ -159,21 +159,22 @@ def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond, x0=None) -> Pr
         return multigrid.apply_level(lvl0, p) * a_scale
 
     b2 = jnp.sum(b * b)
+    nontrivial = b2 >= 1e-6
     if x0 is None:
         p0 = jnp.zeros_like(b)
         r0 = b
     else:
         # warm start from the previous substep's pressure: same solution to
         # tolerance, fewer iterations (the flow field changes slowly per
-        # CFL-bounded substep)
-        p0 = x0 * lvl0.fluid
+        # CFL-bounded substep). Gated on `nontrivial`: when the early-out
+        # skips the loop the result must be the zero pressure of the cold
+        # start (``pressure_solver.cpp:33-35``), not the stale x0.
+        p0 = jnp.where(nontrivial, x0 * lvl0.fluid, 0.0)
         r0 = b - apply_A1(p0)
     z0 = apply_M(r0)
     s0 = z0
     sigma0 = jnp.sum(z0 * r0)
     res0 = jnp.max(jnp.abs(r0))
-
-    nontrivial = b2 >= 1e-6
 
     def cond(carry):
         _, _, _, _, res, it = carry

@@ -300,6 +300,12 @@ def sort_and_build(state, cfg: SimConfig) -> SortBuildResult:
     followed by ``slots.build`` up to the (arbitrary) particle permutation:
     the reference's sort order (``simulation.cpp:266-291``) is cell-major,
     this one is slot-major; every downstream consumer is order-independent.
+
+    The returned ``bins.order``/``bins.cell_start`` do NOT describe
+    cell-contiguous runs (the SoA is rank-major here; see the validity
+    caveat on :class:`~libfluid_tpu.sim.binning.Binning`) — only
+    ``cell_of``/``cell_count``/``occupancy`` are meaningful. Neighbor access
+    on this path is via the returned SlotGrid.
     """
     num_cells = cfg.num_cells
     k = cfg.max_neighbors_per_cell

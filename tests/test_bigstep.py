@@ -72,6 +72,71 @@ def test_tiled_matches_dense_substep():
     assert int(diag_t.pressure_iterations) <= cfg.solver.max_iterations
 
 
+def test_tiled_g2p_slab_path_matches_dense(monkeypatch):
+    """Force the slab-streamed G2P table build (normally gated to >2^21
+    cells) on the small grid and check equivalence — ADVICE r3: the
+    equivalence tests only exercised the one-shot shortcut."""
+    from libfluid_tpu.sim import bigstep
+
+    monkeypatch.setattr(bigstep, "_G2P_TILED_THRESHOLD", 0)
+    cfg, st = _mk(2)
+    dt = 0.01
+    dense = jax.jit(lambda s: substep(s, cfg, dt))
+    for _ in range(2):
+        st, _ = dense(st)
+    st_d, _ = dense(st)
+    st_t, _ = jax.jit(lambda s: substep_tiled(s, cfg, dt, 3))(st)
+    pd, vd = _sorted_particles(st_d)
+    pt, vt = _sorted_particles(st_t)
+    assert pd.shape == pt.shape
+    np.testing.assert_allclose(pd, pt, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(vd, vt, rtol=5e-3, atol=5e-3)
+
+
+def test_tiled_overflow_springs_clustered():
+    """Cells holding more than correction_capacity particles route their
+    springs through _overflow_springs_lazy; a double-seeded (16/cell) cluster
+    must still match the dense substep (ADVICE r3: no test reached that
+    branch)."""
+    cfg = SimConfig(
+        grid_size=(24, 16, 16),
+        particle_capacity=1 << 14,
+        gravity=(0.0, -981.0, 0.0),
+        scheme=TransferScheme.APIC,
+        has_obstacles=False,
+    )
+    st = new_state(cfg, jax.random.PRNGKey(3))
+    # two interleaved seedings of the same box -> 16 particles/cell, past
+    # correction_capacity (8) but within max_neighbors_per_cell headroom
+    st = seed_box(st, cfg, (1.0, 1.0, 1.0), (8.0, 6.0, 6.0))
+    st = seed_box(st, cfg, (1.2, 1.2, 1.2), (8.2, 6.2, 6.2))
+    occ = np.asarray(
+        jax.jit(
+            lambda s: __import__(
+                "libfluid_tpu.sim.binning", fromlist=["bin_particles"]
+            ).bin_particles(s.position, s.active, cfg).occupancy
+        )(st)
+    )
+    assert occ.max() > cfg.correction_capacity, "cluster failed to overflow"
+
+    dt = 0.01
+    st_d, _ = jax.jit(lambda s: substep(s, cfg, dt))(st)
+    st_t, _ = jax.jit(lambda s: substep_tiled(s, cfg, dt, 3))(st)
+    # both paths apply the identical rank-major sort, so compare in identity
+    # order (a lexsort-based multiset compare is unstable here: the 0.2-offset
+    # double seed leaves many near-coincident particles that swap sort order)
+    act = np.asarray(st_d.active)
+    np.testing.assert_array_equal(act, np.asarray(st_t.active))
+    np.testing.assert_allclose(
+        np.asarray(st_d.position)[act], np.asarray(st_t.position)[act],
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.velocity)[act], np.asarray(st_t.velocity)[act],
+        rtol=5e-3, atol=5e-3,
+    )
+
+
 def test_tiled_multi_step_stable():
     cfg, st = _mk(1)
     tiled = jax.jit(lambda s: substep_tiled(s, cfg, 0.01, 4))
@@ -84,3 +149,33 @@ def test_tiled_multi_step_stable():
     lo = np.asarray(cfg.domain_min)
     hi = np.asarray(cfg.domain_max)
     assert (pos >= lo - 1e-4).all() and (pos <= hi + 1e-4).all()
+
+
+def test_tiled_sources_match_dense():
+    """Sources in the tiled path: seeding uses the same key and the same
+    rank-major free-slot layout as the dense substep, so the two paths stay
+    exactly equivalent even while emitting (VERDICT r3 next #6)."""
+    from libfluid_tpu.sim.sources import make_source_set
+
+    cfg, st = _mk(4)
+    src = make_source_set(
+        [[12, 12, 8], [13, 12, 8]], (0.0, -40.0, 0.0), coerce_velocity=True
+    )
+    st = st._replace(sources=src)
+    dt = 0.01
+
+    n0 = int(np.asarray(st.active).sum())
+    st_d, diag_d = jax.jit(lambda s: substep(s, cfg, dt))(st)
+    st_t, diag_t = jax.jit(lambda s: substep_tiled(s, cfg, dt, 3))(st)
+    assert int(diag_d.particle_count) == int(diag_t.particle_count) > n0
+
+    act = np.asarray(st_d.active)
+    np.testing.assert_array_equal(act, np.asarray(st_t.active))
+    np.testing.assert_allclose(
+        np.asarray(st_d.position)[act], np.asarray(st_t.position)[act],
+        rtol=0, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.velocity)[act], np.asarray(st_t.velocity)[act],
+        rtol=5e-3, atol=5e-3,
+    )

@@ -98,3 +98,117 @@ def test_two_process_cpu_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"worker {i} ok" in out
+
+
+_WORKER_SUBSTEP = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.environ["REPO"])
+    from libfluid_tpu.parallel import distributed
+    from libfluid_tpu.parallel.zshard import substep_z, zshard_state
+    from libfluid_tpu.config import SimConfig, TransferScheme
+    from libfluid_tpu.sim import new_state, seed_box, substep
+
+    pid = int(sys.argv[1])
+    distributed.init_distributed(
+        coordinator_address=os.environ["COORD"], num_processes=2, process_id=pid
+    )
+    mesh = distributed.global_mesh(("dp",))
+    assert mesh.devices.size == 4
+
+    # position correction OFF for the strict compare: its spring force
+    # truncates each cell to correction_capacity residents, and WHICH
+    # subset is resident depends on row order — the exchange places crossed
+    # rows into arbitrary free slots, so in >capacity cells the sharded path
+    # legitimately picks a different subset (a tie-break in a bounded
+    # heuristic, not corruption; bounded-divergence is asserted separately
+    # in test_zshard.py). Everything else must match exactly.
+    cfg = SimConfig(
+        grid_size=(12, 12, 32), gravity=(0.0, 0.0, -981.0),
+        particle_capacity=1 << 13, scheme=TransferScheme.APIC,
+        has_obstacles=False, enable_position_correction=False,
+    )
+    state = new_state(cfg, jax.random.PRNGKey(0))
+    # dam break spanning the z seams, plus bulk +z motion so the exchange
+    # ppermutes fire ACROSS the process boundary (device 1 -> 2)
+    state = seed_box(state, cfg, (1.0, 1.0, 6.0), (7.0, 7.0, 18.0))
+    state = state._replace(
+        velocity=jnp.where(
+            state.active[:, None],
+            jnp.asarray([0.0, 0.0, 40.0], jnp.float32),
+            state.velocity,
+        )
+    )
+    dt = 1.0 / 60.0
+
+    # dense reference (process-local, identical on both processes)
+    ref, ref_diag = jax.jit(lambda s: substep(s, cfg, dt))(state)
+
+    zs = zshard_state(state, cfg, mesh)
+    out, diag = jax.jit(lambda s: substep_z(s, cfg, dt, mesh))(zs)
+
+    from jax.experimental import multihost_utils
+    op = np.asarray(multihost_utils.process_allgather(out.position, tiled=True))
+    ov = np.asarray(multihost_utils.process_allgather(out.velocity, tiled=True))
+    oa = np.asarray(multihost_utils.process_allgather(out.active, tiled=True))
+
+    def sorted_particles(pos, vel, act):
+        pos, vel = pos[act], vel[act]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return pos[order], vel[order]
+
+    rp, rv = sorted_particles(
+        np.asarray(ref.position), np.asarray(ref.velocity),
+        np.asarray(ref.active),
+    )
+    sp, sv = sorted_particles(op, ov, oa)
+    assert rp.shape == sp.shape, (rp.shape, sp.shape)
+    np.testing.assert_allclose(sp, rp, atol=2e-4)
+    np.testing.assert_allclose(sv, rv, atol=5e-3)
+    assert int(diag.particle_count) == int(ref_diag.particle_count)
+    assert int(diag.particles_lost) == 0
+    print("worker", pid, "substep ok", flush=True)
+    """
+)
+
+
+def test_two_process_substep_z(tmp_path):
+    """The FULL sharded substep (particle-exchange ppermutes, all_gather
+    coarse MG tail, halo exchanges) across a real process boundary, asserting
+    particle-multiset equivalence vs the dense path (VERDICT r3 next #7 —
+    the primitives-only 2-process test left row 49's nontrivial collectives
+    unexercised under multi-process semantics)."""
+    worker = tmp_path / "worker_substep.py"
+    worker.write_text(_WORKER_SUBSTEP)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {
+        **os.environ,
+        "COORD": f"127.0.0.1:{port}",
+        "REPO": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    }
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"worker {i} substep ok" in out
