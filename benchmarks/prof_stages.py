@@ -76,7 +76,17 @@ grid = grids.mark_cells(grid, bins.occupancy)
 pres = bench("pressure.solve", lambda g: pressure_mod.solve(g, cfg, dt), grid)
 bench("apply_pressure", lambda g, p: pressure_mod.apply_pressure(g, p, cfg, dt), grid, pres.pressure)
 key = jax.random.PRNGKey(1)
-bench("correction", lambda s, sg: correction_mod.correct_positions(s.position, s.active, sg, cfg, dt, key), state2, slot_grid)
+# production passes trunc_start (slotsort rank-major order) so the overflow
+# pass is a contiguous slice, not a jnp.nonzero compaction — bench the same
+kc = min(cfg.correction_capacity, slot_grid.capacity)
+trunc_start = jnp.sum(jnp.minimum(bins.cell_count, kc), dtype=jnp.int32)
+bench(
+    "correction",
+    lambda s, sg, ts: correction_mod.correct_positions(
+        s.position, s.active, sg, cfg, dt, key, trunc_start=ts
+    ),
+    state2, slot_grid, trunc_start,
+)
 bench("collisions", lambda s: collisions_mod.resolve_collisions(s.position, s.position + 0.1, s.solid, cfg), state2)
 grid2 = bench("extrapolate", lambda g: extrapolation_mod.extrapolate(g, cfg), grid)
 bench("g2p_pic", lambda g, s: transfers.g2p_pic(g, s.position, cfg), grid2, state2)

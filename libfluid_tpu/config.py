@@ -49,6 +49,12 @@ class SolverConfig:
     tolerance: float = 1e-6  # max-norm residual threshold (ref pressure_solver.h:41)
     max_iterations: int = 200  # ref pressure_solver.h:42
     preconditioner: str = "mg"  # "mg" (geometric V-cycle) or "jacobi"
+    # dtype the V-cycle preconditioner runs in (the outer CG iteration stays
+    # float32 either way; tolerance semantics are unchanged). bfloat16 was
+    # measured a net LOSS on v5e at 128^3 — iterations 36 -> 46 and wall
+    # 158 -> 175 ms (the (16,128) bf16 tiling + casts eat the bandwidth
+    # saving) — so float32 is the default; the knob stays for other shapes.
+    preconditioner_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -269,7 +269,24 @@ def _cg_z(levels: ZLevels, b: jnp.ndarray, a_scale, tol, max_iters, precond, x0=
             pressure=lax.dynamic_slice_in_dim(res.pressure, i * nzl, nzl, 2)
         )
 
+    if precond == "mg16":
+        # bf16 preconditioner hierarchy (mirror of pressure._cg's mg16)
+        def _cast(lev):
+            return type(lev)(
+                *[f.astype(jnp.bfloat16) for f in lev[:-1]], lev.scale
+            )
+
+        levels16 = ZLevels(
+            sharded=tuple(_cast(l) for l in levels.sharded),
+            dense=tuple(_cast(l) for l in levels.dense),
+        )
+
     def apply_M(r):
+        if precond == "mg16":
+            return (
+                _v_cycle_z(levels16, r.astype(jnp.bfloat16)).astype(r.dtype)
+                / a_scale
+            )
         if precond == "mg":
             return _v_cycle_z(levels, r) / a_scale
         return lvl0.inv_diag / a_scale * r
@@ -688,7 +705,7 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
     b = _rhs_local(g, cfg)
     pres = _cg_z(
         levels, b, a_scale, cfg.solver.tolerance, cfg.solver.max_iterations,
-        cfg.solver.preconditioner, x0=state.pressure,
+        pressure_mod._precond_tag(cfg), x0=state.pressure,
     )
     g = _apply_pressure_local(g, pres.pressure, cfg, dt)
 

@@ -150,7 +150,24 @@ def _cg(levels, b: jnp.ndarray, a_scale, tol, max_iters, precond, x0=None) -> Pr
     """
     lvl0 = levels[0]
 
+    if precond == "mg16":
+        # bfloat16 copy of the hierarchy for the preconditioner sweeps; the
+        # outer CG iteration (apply_A1, dots, updates) stays in b's dtype
+        levels16 = tuple(
+            multigrid.MGLevel(
+                *[f.astype(jnp.bfloat16) for f in lev[:-1]], lev.scale
+            )
+            for lev in levels
+        )
+
     def apply_M(r):
+        if precond == "mg16":
+            return (
+                multigrid.v_cycle(levels16, r.astype(jnp.bfloat16)).astype(
+                    r.dtype
+                )
+                / a_scale
+            )
         if precond == "mg":
             return multigrid.v_cycle(levels, r) / a_scale
         return lvl0.inv_diag / a_scale * r
@@ -236,6 +253,14 @@ def _solve_bwd(tol, max_iters, precond, saved, cotangent):
 solve_pressure_system.defvjp(_solve_fwd, _solve_bwd)
 
 
+def _precond_tag(cfg: SimConfig) -> str:
+    """Static preconditioner tag: "mg"/"jacobi", "mg16" for the bf16 cycle."""
+    p = cfg.solver.preconditioner
+    if p == "mg" and cfg.solver.preconditioner_dtype == "bfloat16":
+        return "mg16"
+    return p
+
+
 def solve(grid: grids.MacGrid, cfg: SimConfig, dt, x0=None) -> PressureResult:
     """Assemble and solve the pressure system for the current grid state."""
     levels = multigrid.build_levels(grid.cell_type, cfg.dtype)
@@ -250,7 +275,7 @@ def solve(grid: grids.MacGrid, cfg: SimConfig, dt, x0=None) -> PressureResult:
         x0,
         cfg.solver.tolerance,
         cfg.solver.max_iterations,
-        cfg.solver.preconditioner,
+        _precond_tag(cfg),
     )
 
 

@@ -85,8 +85,14 @@ def _expand_kernel(w0_ref, delta_ref, pay_hbm, out_ref, a, sem):
     dma.start()
     raw = delta_ref[:, :]                       # (1, W) block-relative deltas
     inval = raw >= INV
-    # window coords: dest lane (PAD + j) reads src lane S - w0a
-    dx = (raw & (INV - 1)) + (w0_ref[b] - w0a) + PAD
+    # window coords: dest frame lane (PAD + j) must take src frame lane
+    # S - w0a = (w0 - w0a) + j - raw, i.e. shift right by
+    # PAD + raw - (w0 - w0a). The alignment remainder SUBTRACTS: the DMA
+    # window starts `rem` rows before w0, so sources sit `rem` lanes further
+    # left than the aligned case. (r3 shipped `+ rem`, silently reading rows
+    # 2*rem early in every block whose window start was not 128-aligned —
+    # caught by the r4 on-chip parity test, TPU_PARITY_r04.txt.)
+    dx = (raw & (INV - 1)) - (w0_ref[b] - w0a) + PAD
     d0 = dx[0, 0]
     ramp = jnp.maximum(
         d0 - PAD + jax.lax.broadcasted_iota(jnp.int32, (1, PAD), 1), 0

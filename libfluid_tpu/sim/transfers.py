@@ -488,6 +488,112 @@ def build_g2p_table(grid: grids.MacGrid, cfg: SimConfig) -> jnp.ndarray:
     return _transpose_major(table)  # (C, 64); rows 256B-aligned
 
 
+# toggle for the (18, N)-layout G2P weight evaluation (benchmark A/B switch)
+_G2P_MAJOR_LAYOUT = True
+
+
+def _transpose_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, k) -> (k, N) blocked over N (the mirror of `_transpose_major` for
+    tall-skinny operands; XLA's choice on CPU / odd sizes)."""
+    if jax.default_backend() != "tpu":
+        return x.T
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = x.shape
+    tile = 8192
+    if n % tile != 0:
+        return x.T
+
+    def kernel(in_ref, out_ref):
+        out_ref[:] = in_ref[:].T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (k, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
+    )(x)
+
+
+def _g2p_weights_major(samples_T, position, cell3c, cfg: SimConfig):
+    """Weight/gradient evaluation in (18, N) layout — lanes along particles.
+
+    The (N, 18)-shaped formulation below lane-pads 18 -> 128 on every temp
+    (7x HBM waste; measured 44 ms of the 75 ms g2p_from_table at 128^3 —
+    the weights, not the gather, dominated). Here every temp is (k, N) with
+    the huge axis minor, so tiles are full. The hat-weight is separable,
+    w = wx (x) wy (x) wz, so the per-space-axis factors (2 or 3 rows each)
+    are built once and combined per sample; the gradient substitutes the
+    derivative factor one axis at a time. Identical support/sign semantics
+    to the (N, 18) path (half-open [-1, 1), one-sided kink)."""
+    n = position.shape[0]
+    h = cfg.cell_size
+    posT = position.T  # (3, N)
+    baseT = cell3c.T.astype(cfg.dtype)  # (3, N)
+    off = jnp.asarray(cfg.grid_offset, cfg.dtype)
+
+    vals = []
+    rows = []
+    for axis in range(3):
+        # float face-index coords of each particle, per space axis j: (3, N)
+        shift = jnp.full((3, 1), 0.5, cfg.dtype).at[axis].set(0.0)
+        coordT = (posT - off[:, None]) / h - shift
+        # per-space-axis factor rows: face offsets {0,1} along `axis`,
+        # {-1,0,1} along the other two
+        nfac = []  # hat value rows, shape (k_j, N)
+        sfac = []  # derivative rows
+        for j in range(3):
+            offs = (0.0, 1.0) if j == axis else (-1.0, 0.0, 1.0)
+            d = coordT[j][None, :] - (
+                baseT[j][None, :] + jnp.asarray(offs, cfg.dtype)[:, None]
+            )
+            nfac.append(jnp.maximum(1.0 - jnp.abs(d), 0.0))
+            sfac.append(
+                jnp.where(
+                    (d >= -1.0) & (d < 1.0),
+                    jnp.where(d > 0.0, -1.0, 1.0),
+                    0.0,
+                )
+                / h
+            )
+        sA = samples_T[18 * axis : 18 * (axis + 1)]  # (18, N)
+        kx, ky, kz = (f.shape[0] for f in nfac)
+
+        def combine(fx, fy, fz):
+            # (kx,ky,kz,N) product flattened to (18, N); the offset order
+            # matches _cell_offsets (x outer, z inner)
+            w = (
+                fx[:, None, None, :]
+                * fy[None, :, None, :]
+                * fz[None, None, :, :]
+            )
+            return w.reshape(kx * ky * kz, n)
+
+        w18 = combine(nfac[0], nfac[1], nfac[2])
+        vals.append(jnp.sum(w18 * sA, axis=0))
+        g0 = combine(sfac[0], nfac[1], nfac[2])
+        g1 = combine(nfac[0], sfac[1], nfac[2])
+        g2 = combine(nfac[0], nfac[1], sfac[2])
+        rows.append(
+            jnp.stack(
+                [
+                    jnp.sum(g0 * sA, axis=0),
+                    jnp.sum(g1 * sA, axis=0),
+                    jnp.sum(g2 * sA, axis=0),
+                ]
+            )
+        )  # (3, N)
+    vel = jnp.stack(vals).T  # (N, 3)
+    affine = jnp.stack(rows).transpose(2, 0, 1)  # (N, 3, 3): rows = axes
+    return vel, affine
+
+
 def g2p_from_table(
     table: jnp.ndarray, position: jnp.ndarray, cfg: SimConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -497,6 +603,11 @@ def g2p_from_table(
     cell3c = jnp.clip(cell3, 0, dims - 1)
     cell_flat = grids.flat_cell_index(cell3c, cfg)  # C order = table row order
     samples_all = table[cell_flat]  # (N, 64) ONE aligned row gather
+
+    n = position.shape[0]
+    if _G2P_MAJOR_LAYOUT and jax.default_backend() == "tpu" and n % 8192 == 0:
+        samples_T = _transpose_rows(samples_all)  # (64, N)
+        return _g2p_weights_major(samples_T, position, cell3c, cfg)
 
     vals = []
     rows_out = []

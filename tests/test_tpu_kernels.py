@@ -118,3 +118,90 @@ def test_mesher_surface_kernel_parity():
         jax.jit(lambda p, a: surface._sample_surface_tpu(p, a, cfg, 0.5))(pos, active)
     )
     assert np.max(np.abs(oracle - fast)) < 2e-3
+
+
+def test_slotsort_expand_kernel_parity():
+    """Pallas monotone-expand vs its gather oracle (slotsort._expand_jnp) on
+    a real sorted particle set (VERDICT r3 next #9: the expand kernel is in
+    the production path but had no on-chip parity run)."""
+    from libfluid_tpu.config import SimConfig, TransferScheme
+    from libfluid_tpu.sim import new_state, seed_box, slotsort
+
+    cfg = SimConfig(
+        grid_size=(16, 16, 8), particle_capacity=1 << 12,
+        scheme=TransferScheme.APIC, has_obstacles=False,
+    )
+    assert slotsort.pallas_ok(cfg), "pick a grid the kernel supports"
+    state = new_state(cfg, jax.random.PRNGKey(5))
+    state = seed_box(state, cfg, (1.0, 1.0, 1.0), (9.0, 9.0, 5.0))
+
+    block = slotsort._pick_block(cfg.num_cells)
+    rs = jax.jit(
+        lambda s: slotsort.sort_rank_major(s, cfg, pad_cols=block + 2 * slotsort.PAD)
+    )(state)
+    flat_p = jax.jit(
+        lambda r: slotsort.expand_range(r, cfg, jnp.int32(0), cfg.num_cells, block)
+    )(rs)
+
+    # oracle on the same inputs (force the jnp path)
+    k = cfg.max_neighbors_per_cell
+    kr = rs.ins.reshape(k, cfg.num_cells)
+    # rebuild delta/w0 exactly as expand_range does, then run the oracle
+    import libfluid_tpu.sim.slotsort as ss
+    orig = ss._expand_impl
+    outs = {}
+    try:
+        def jnp_only(payT, delta, w0, blk):
+            return ss._expand_jnp(payT, delta, w0, blk)
+
+        ss._expand_impl = jnp_only
+        flat_j = jax.jit(
+            lambda r: slotsort.expand_range(r, cfg, jnp.int32(0), cfg.num_cells, block)
+        )(rs)
+    finally:
+        ss._expand_impl = orig
+
+    a, b = np.asarray(flat_p), np.asarray(flat_j)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_g2p_major_layout_parity():
+    """(18, N)-layout G2P weight eval + Pallas row transpose vs the minor
+    path, on chip."""
+    from libfluid_tpu import grids
+    from libfluid_tpu.config import SimConfig, TransferScheme
+    from libfluid_tpu.sim import new_state, seed_box, transfers
+
+    cfg = SimConfig(
+        grid_size=(16, 16, 32), particle_capacity=1 << 13,
+        scheme=TransferScheme.APIC, has_obstacles=False,
+    )
+    state = new_state(cfg, jax.random.PRNGKey(6))
+    state = seed_box(state, cfg, (1.0, 1.0, 1.0), (8.0, 8.0, 11.0))
+    key = jax.random.PRNGKey(7)
+    grid = state.grid._replace(
+        u=jax.random.normal(key, state.grid.u.shape),
+        v=jax.random.normal(jax.random.fold_in(key, 1), state.grid.v.shape),
+        w=jax.random.normal(jax.random.fold_in(key, 2), state.grid.w.shape),
+    )
+    tbl = jax.jit(lambda g: transfers.build_g2p_table(g, cfg))(grid)
+    cell3c = jnp.clip(
+        grids.cell_index_of(state.position, cfg), 0,
+        jnp.asarray(cfg.grid_size, jnp.int32) - 1,
+    )
+    sT = jax.jit(transfers._transpose_rows)(tbl[grids.flat_cell_index(cell3c, cfg)])
+    v1, a1 = jax.jit(
+        lambda sT, p, c: transfers._g2p_weights_major(sT, p, c, cfg)
+    )(sT, state.position, cell3c)
+
+    old = transfers._G2P_MAJOR_LAYOUT
+    try:
+        transfers._G2P_MAJOR_LAYOUT = False
+        v0, a0 = jax.jit(
+            lambda t, p: transfers.g2p_from_table(t, p, cfg)
+        )(tbl, state.position)
+    finally:
+        transfers._G2P_MAJOR_LAYOUT = old
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-5, atol=1e-5)
