@@ -149,10 +149,16 @@ def bench_e2e_64():
         differentiable=False,
     )
 
+    from libfluid_tpu.renderer import accel as accel_mod
+
     def frame(state, key):
         state, diag = substep(state, cfg, 0.02)
         mesh = generate_mesh(state.position, state.active, mcfg)
         s = inject_mesh(scene0, mesh.vertices, mesh.valid, water)
+        # in-jit accelerator rebuild: without it every ray brute-forces the
+        # full 2^17-triangle capacity (26.6 s/frame measured in the r4 dry
+        # run; the uniform-grid build is jittable by design)
+        s = s._replace(accel=accel_mod.build(s, res=(64, 64, 64)))
         img = render(s, cam, rcfg, key)
         return state, img
 

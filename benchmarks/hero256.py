@@ -35,7 +35,7 @@ from libfluid_tpu.sim.bigstep import substep_tiled
 
 N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
 
 def main():
@@ -66,8 +66,13 @@ def main():
         flush=True,
     )
 
+    # 128^3 sampling of the 256-unit domain: the 256^3 mesher kernel blocks
+    # exceed v5e VMEM (152M > 128M compile error); half-res sampling matches
+    # the reference's own practice of meshing coarser than the sim grid
+    # (testbed/main.cpp:219-223 meshes 104^3 over a 50^3 sim)
     mcfg = MesherConfig(
-        grid_size=(256, 256, 256), cell_size=1.0, max_triangles=1 << 20,
+        grid_size=(128, 128, 128), cell_size=2.0, max_triangles=1 << 20,
+        particle_extent=4.0, particle_radius=1.0,
     )
     t0 = time.time()
     mesh = jax.jit(lambda p, a: generate_mesh(p, a, mcfg))(
@@ -88,13 +93,22 @@ def main():
     scene = scene._replace(accel=accel_mod.build(scene, res=(64, 64, 64)))
     print(f"accel built in {time.time()-t0:.0f}s", flush=True)
 
+    # spp is chunked over separate device calls: a single multi-minute XLA
+    # program trips the TPU worker's watchdog ("worker process crashed") —
+    # the estimator is additive, so host-side accumulation is free
+    chunk = 1
     rcfg = RenderConfig(
-        width=SIZE, height=SIZE, samples_per_pixel=SPP, max_bounces=5,
+        width=SIZE, height=SIZE, samples_per_pixel=chunk, max_bounces=5,
     )
+    fn = jax.jit(render, static_argnums=(2,))
     t0 = time.time()
-    img = np.asarray(
-        jax.jit(render, static_argnums=(2,))(scene, cam, rcfg, jax.random.PRNGKey(1))
-    )
+    acc = np.zeros((SIZE, SIZE, 3), np.float32)
+    done = 0
+    while done < SPP:
+        acc += np.asarray(fn(scene, cam, rcfg, jax.random.PRNGKey(1000 + done)))
+        done += chunk
+        print(f"  {done}/{SPP} spp at {time.time()-t0:.0f}s", flush=True)
+    img = acc * (chunk / SPP)
     print(
         f"render {SIZE}^2 x {SPP}spp: {time.time()-t0:.0f}s "
         f"mean={img.mean():.3f}",

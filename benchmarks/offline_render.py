@@ -34,27 +34,30 @@ SB = int(sys.argv[4]) if len(sys.argv) > 4 else 6
 def main():
     builder, cam = scenes.cornell_box_one_light(1.0)
     scene = builder.finish()
+    # spp runs in chunks of separate device calls: one multi-minute XLA
+    # program trips the TPU worker watchdog (hero256.py hit this first)
+    chunk = 8
     cfg = RenderConfig(
-        width=W, height=W, samples_per_pixel=SPP, max_bounces=5,
+        width=W, height=W, samples_per_pixel=chunk, max_bounces=5,
         algorithm="bdpt", differentiable=False,
         max_camera_bounces=TB, max_light_bounces=SB,
     )
     fn = jax.jit(render, static_argnums=(2,))
     t0 = time.time()
-    img = np.asarray(fn(scene, cam, cfg, jax.random.PRNGKey(0)))
+    acc = np.zeros((W, W, 3), np.float32)
+    done = 0
+    while done < SPP:
+        acc += np.asarray(fn(scene, cam, cfg, jax.random.PRNGKey(done)))
+        done += chunk
+        if done % 80 == 0:
+            print(f"  {done}/{SPP} spp at {time.time()-t0:.0f}s", flush=True)
+    img = acc * (chunk / SPP)
     wall = time.time() - t0
     rays = W * W * SPP * (TB + SB)
     print(
         f"offline BDPT {W}x{W} @ {SPP}spp ({TB}+{SB} bounces): "
         f"{wall:.1f}s wall (incl. compile) = {rays/wall/1e6:.1f} Mrays/s "
         f"mean={img.mean():.4f}",
-        flush=True,
-    )
-    t0 = time.time()
-    img = np.asarray(fn(scene, cam, cfg, jax.random.PRNGKey(1)))
-    wall = time.time() - t0
-    print(
-        f"offline BDPT steady: {wall:.1f}s = {rays/wall/1e6:.1f} Mrays/s",
         flush=True,
     )
     out = os.path.join(_ROOT, "renders", "cornell_offline.ppm")

@@ -144,7 +144,10 @@ def trace_persistent(
     """
     w, h = cfg.width, cfg.height
     npix = w * h
-    lanes = npix  # one full pixel grid of lanes in flight
+    # wavefront width: capped independently of the image — lanes just cycle
+    # through the global sample stream, and 64k lanes already saturate the
+    # chip (a 512^2 = 262k-lane wavefront hard-crashed the TPU worker)
+    lanes = min(npix, 1 << 16)
     total = npix * cfg.samples_per_pixel
     dtype = jnp.float32
     inv = jnp.asarray([1.0 / w, 1.0 / h], dtype)
