@@ -38,7 +38,14 @@ SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
 
-def main():
+def _particles(cache="/tmp/hero_state.npz"):
+    """Run (or reload) the 256^3 tide sim; returns (position, active) on
+    host. Cached so render-phase retries don't pay the ~8 min sim again."""
+    if os.path.exists(cache):
+        d = np.load(cache)
+        print(f"loaded cached particles: {int(d['active'].sum())}", flush=True)
+        return d["position"], d["active"]
+
     cfg = SimConfig(
         grid_size=(256, 256, 256), gravity=(0.0, -981.0, 0.0),
         particle_capacity=1 << 23, scheme=TransferScheme.APIC,
@@ -65,6 +72,14 @@ def main():
         f"cg={int(diag.pressure_iterations)} vmax={float(diag.max_velocity):.0f}",
         flush=True,
     )
+    pos = np.asarray(state.position)
+    act = np.asarray(state.active)
+    np.savez(cache, position=pos, active=act)
+    return pos, act
+
+
+def main():
+    position, active = _particles()
 
     # 128^3 sampling of the 256-unit domain: the 256^3 mesher kernel blocks
     # exceed v5e VMEM (152M > 128M compile error); half-res sampling matches
@@ -76,7 +91,7 @@ def main():
     )
     t0 = time.time()
     mesh = jax.jit(lambda p, a: generate_mesh(p, a, mcfg))(
-        state.position, state.active
+        jnp.asarray(position), jnp.asarray(active)
     )
     nv = int(np.asarray(jnp.sum(mesh.valid)))
     print(f"mesh: {nv} tris in {time.time()-t0:.0f}s", flush=True)
@@ -104,11 +119,19 @@ def main():
     t0 = time.time()
     acc = np.zeros((SIZE, SIZE, 3), np.float32)
     done = 0
+    got = 0
     while done < SPP:
-        acc += np.asarray(fn(scene, cam, rcfg, jax.random.PRNGKey(1000 + done)))
+        try:
+            acc += np.asarray(
+                fn(scene, cam, rcfg, jax.random.PRNGKey(1000 + done))
+            )
+            got += chunk
+        except Exception as e:  # flaky worker: keep whatever samples landed
+            print(f"  chunk at {done} failed: {type(e).__name__}", flush=True)
+            time.sleep(10)
         done += chunk
-        print(f"  {done}/{SPP} spp at {time.time()-t0:.0f}s", flush=True)
-    img = acc * (chunk / SPP)
+        print(f"  {got}/{SPP} spp at {time.time()-t0:.0f}s", flush=True)
+    img = acc * (chunk / max(got, 1))
     print(
         f"render {SIZE}^2 x {SPP}spp: {time.time()-t0:.0f}s "
         f"mean={img.mean():.3f}",
