@@ -43,13 +43,36 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig, key) -> jnp.ndarray:
     base = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)  # (h*w, 2)
     inv = jnp.asarray([1.0 / w, 1.0 / h], jnp.float32)
 
+    # ray-strip batching: one traced strip instance via lax.map, so big
+    # images don't put the whole pixel grid in flight at once (BDPT's
+    # 36-pair connection sweep at 800^2 = 640k rays crashed the worker)
+    npix = w * h
+    strip = cfg.ray_batch
+    nstrips = -(-npix // strip)
+    pad = nstrips * strip - npix
+    base_p = jnp.concatenate([base, jnp.zeros((pad, 2), jnp.float32)])
+
     def sample(acc, k):
         k1, k2 = jax.random.split(k)
-        jitter = jax.random.uniform(k1, base.shape)
-        sp = (base + jitter) * inv
-        o, d = camera.get_rays(sp)
-        li = trace_rays(scene, o, d, k2, cfg)
-        return acc + li, None
+        jitter = jax.random.uniform(k1, base_p.shape)
+        sp = (base_p + jitter) * inv
+
+        def one_strip(args):
+            sp_s, ks = args
+            o, d = camera.get_rays(sp_s)
+            return trace_rays(scene, o, d, ks, cfg)
+
+        if nstrips == 1:
+            li = one_strip((sp, k2))
+        else:
+            li = jax.lax.map(
+                one_strip,
+                (
+                    sp.reshape(nstrips, strip, 2),
+                    jax.random.split(k2, nstrips),
+                ),
+            ).reshape(nstrips * strip, 3)
+        return acc + li[: w * h], None
 
     acc0 = jnp.zeros((w * h, 3), jnp.float32)
     keys = jax.random.split(key, cfg.samples_per_pixel)
