@@ -157,8 +157,10 @@ def bench_e2e_64():
         s = inject_mesh(scene0, mesh.vertices, mesh.valid, water)
         # in-jit accelerator rebuild: without it every ray brute-forces the
         # full 2^17-triangle capacity (26.6 s/frame measured in the r4 dry
-        # run; the uniform-grid build is jittable by design)
-        s = s._replace(accel=accel_mod.build(s, res=(64, 64, 64)))
+        # run; the uniform-grid build is jittable by design). 32^3 grid:
+        # the lockstep DDA pays the worst ray's step count, and fewer,
+        # denser cells beat a finer grid for a coherent fluid surface
+        s = s._replace(accel=accel_mod.build(s, res=(32, 32, 32)))
         img = render(s, cam, rcfg, key)
         return state, img
 

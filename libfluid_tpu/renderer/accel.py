@@ -142,7 +142,11 @@ def _moller_trumbore(o, d, p0, e1, e2, eps=1e-9):
     return hit, t, u, v
 
 
-CHUNK = 4  # triangles tested per ray per wavefront iteration
+CHUNK = 8  # triangles tested per ray per wavefront iteration. The DDA loop
+# is lockstep across the wavefront — every lane pays the slowest ray's
+# iteration count — so wider chunks cut the crowded-cell test iterations
+# that dominate fluid-surface scenes (VPU lanes are free; 8 rows per ray
+# per step is still tiny)
 
 
 def traverse(
