@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from libfluid_tpu.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def sync(x):
     """Drain the device queue: under the axon remote backend

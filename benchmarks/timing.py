@@ -10,6 +10,13 @@ import time
 import jax
 import numpy as np
 
+try:
+    from libfluid_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+except Exception:  # pragma: no cover — cache is an optimization only
+    pass
+
 
 def sync(tree) -> None:
     """Force full device-queue drain by fetching one scalar to host."""

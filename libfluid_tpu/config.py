@@ -96,11 +96,17 @@ class SimConfig:
     # subsample mean in hyper-compressed cells (faces average their first K
     # particles) — a bounded estimator approximation, not a mass leak, since
     # P2G normalizes by total weight. Diagnostics.overflow_count reports it.
-    correction_capacity: int = 8  # slots per cell joining the dense correction
-    # springs pass. Particles past it (rank >= correction_capacity, incl.
-    # slot overflow) get their spring from a compacted per-particle pass
-    # against the resident field — up to this many per substep:
-    correction_overflow_capacity: int = 16384
+    correction_capacity: int = 12  # slots per cell joining the dense correction
+    # springs pass. Defaults to max_neighbors_per_cell so EVERY slotted
+    # particle is in the dense pass (the reference's neighborhood loop has no
+    # cap at all, simulation.cpp:562-610) — the Newton's-third-law kernel
+    # (kernels._correction_kernel) absorbs the KC^2 growth. Particles past it
+    # (rank >= correction_capacity, i.e. slot overflow only at the default)
+    # get their spring from a compacted per-particle gather pass against the
+    # resident field — up to this many per substep (the gather pass costs
+    # ~5 ms/1k rows on TPU at 128^3, so the cap is deliberately tight now
+    # that only >12-per-cell compression reaches it):
+    correction_overflow_capacity: int = 4096
     # z-shard particle-exchange ring-buffer capacity per direction (rows a
     # device can send up/down per substep). 0 = auto (half the device block).
     # Overfilling it LOSES particles (counted in Diagnostics.particles_lost,

@@ -255,19 +255,25 @@ def p2g_lo_faces_pallas(
 def _correction_kernel(
     seed_ref,  # (1,) int32 scalar prefetch
     occ_ref,  # (nx,) int32 scalar prefetch
-    left_ref,  # VMEM (4KC, 1, ny, nz): pos rows then mask rows, plane i-1
-    ctr_ref,
-    right_ref,
-    springs_ref,  # VMEM out (3KC, 1, ny, nz)
+    ctr_ref,  # VMEM (4KC, 1, ny, nz): pos rows then mask rows, plane i
+    right_ref,  # plane i+1 (clamped)
+    springs_ref,  # VMEM out (3KC, 1, ny, nz): plane-i accumulations
+    springs2_ref,  # VMEM out (3KC, 1, ny, nz): plane-(i+1) side of the
+    #                (i, i+1) pairs, shift-added outside the kernel
     *,
     kc: int,
     re2: float,
     with_jitter: bool,
 ):
     """Anti-clumping springs for one x-plane of cells (ref
-    ``simulation.cpp:562-610``), with the P2G kernel's tiling: three
-    clamped-index plane blocks, 9 dynamic-roll (dy, dz) taps per block, and
-    the spring kernel's compact support (re < h) self-masking wrapped rolls
+    ``simulation.cpp:562-610``), with the P2G kernel's tiling and Newton's
+    third law halving the pair sweep: the spring weight w(|xi-xj|) is
+    symmetric, so each unordered pair is evaluated ONCE and accumulated on
+    BOTH endpoints (reduce over each pair axis) — 14 taps (self + 4 mirrored
+    in-plane + 9 against plane i+1) instead of the naive 27. The i+1-side
+    sums land in a second output indexed by plane i and are shifted one
+    plane right outside the kernel. y/z halos are dynamic in-VMEM lane
+    rolls; the compact support (re < h) self-masks roll wrap-around
     (positions are absolute)."""
     i = pl.program_id(0)
     nplanes = pl.num_programs(0)
@@ -275,6 +281,7 @@ def _correction_kernel(
     @pl.when(occ_ref[i] == 0)
     def _():
         springs_ref[:] = jnp.zeros_like(springs_ref)
+        springs2_ref[:] = jnp.zeros_like(springs2_ref)
 
     @pl.when(occ_ref[i] > 0)
     def _():
@@ -285,14 +292,12 @@ def _correction_kernel(
         res_pos = res[: 3 * kc].reshape(3, kc, ny, nz)
         res_mask = res[3 * kc :]
 
-        lvalid = (i > 0).astype(jnp.float32)
         rvalid = (i < nplanes - 1).astype(jnp.float32)
-        blocks = ((left_ref, lvalid), (ctr_ref, 1.0), (right_ref, rvalid))
+        rwin = right_ref[:, 0]
+        r_pos = rwin[: 3 * kc].reshape(3, kc, ny, nz)
+        r_mask = rwin[3 * kc :] * rvalid
 
         zero = jnp.zeros((kc, ny, nz), jnp.float32)
-        wsum = zero
-        wnbr = (zero, zero, zero)
-        coin = zero
 
         # broadcasted_iota, not reshape-of-eye: Mosaic cannot shape-cast
         # across the tiled dims
@@ -300,50 +305,95 @@ def _correction_kernel(
         ci = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1), 1)
         one_minus_eye = (ri != ci).astype(jnp.float32)
 
-        for bi, (ref, xvalid) in enumerate(blocks):
-            win = ref[:, 0]
-            nb_pos0 = win[: 3 * kc].reshape(3, kc, ny, nz)
-            nb_mask0 = win[3 * kc :] * xvalid
+        def rollyz(a, shy, shz):
+            return pltpu.roll(
+                pltpu.roll(a, shy, axis=a.ndim - 2), shz, axis=a.ndim - 1
+            )
 
-            def tap(t, acc):
-                wsum, wnbr, coin = acc
-                wnbr = list(wnbr)
-                dy = t // 3 - 1
-                dz = t % 3 - 1
-                shy = (-dy) % ny
-                shz = (-dz) % nz
+        def pair_sums(nb_pos, nb_mask, self_mask):
+            """One tap: (w-sum, w*x-sums, coincident count) reduced over
+            BOTH pair axes. *_i reduce over the neighbor axis (the resident
+            side); *_j over the resident axis (the neighbor side, still in
+            center coordinates — the caller rolls them home)."""
+            sq = sum(
+                (res_pos[c][:, None] - nb_pos[c][None, :]) ** 2
+                for c in range(3)
+            )
+            pair = res_mask[:, None] * nb_mask[None, :]
+            if self_mask:
+                pair = pair * one_minus_eye
+            degenerate = sq < 1e-12
+            kern = jnp.maximum(1.0 - sq * (1.0 / re2), 0.0) ** 3
+            # sqrt + divide, not rsqrt: Mosaic's rsqrt is the ~1e-4
+            # hardware approximation; the jnp oracle's XLA rsqrt is
+            # Newton-refined and parity tests compare the two
+            w = kern / jnp.sqrt(jnp.maximum(sq, 1e-12))
+            w = jnp.where(degenerate, 0.0, w) * pair
+            dg = jnp.where(degenerate, pair, 0.0)
+            ws_i = jnp.sum(w, axis=1)
+            wx_i = tuple(jnp.sum(w * nb_pos[c][None, :], axis=1) for c in range(3))
+            co_i = jnp.sum(dg, axis=1)
+            ws_j = jnp.sum(w, axis=0)
+            wx_j = tuple(jnp.sum(w * res_pos[c][:, None], axis=0) for c in range(3))
+            co_j = jnp.sum(dg, axis=0)
+            return ws_i, wx_i, co_i, ws_j, wx_j, co_j
 
-                def rollyz(a):
-                    return pltpu.roll(
-                        pltpu.roll(a, shy, axis=a.ndim - 2),
-                        shz,
-                        axis=a.ndim - 1,
-                    )
+        # --- self tap: both orderings of every in-cell pair are already in
+        # the full KC x KC tensor — single-sided accumulation ---
+        ws, wx, co, _, _, _ = pair_sums(res_pos, res_mask, self_mask=True)
+        wsum, wnbr, coin = ws, list(wx), co
 
-                nb_pos = rollyz(nb_pos0)
-                nb_mask = rollyz(nb_mask0)
-                # pairwise (KC res, KC nbr, ny, nz)
-                sq = sum(
-                    (res_pos[c][:, None] - nb_pos[c][None, :]) ** 2
-                    for c in range(3)
-                )
-                pair = res_mask[:, None] * nb_mask[None, :]
-                is_self = jnp.logical_and(t == 4, bi == 1)
-                pair = pair * jnp.where(is_self, one_minus_eye, 1.0)
-                degenerate = sq < 1e-12
-                kern = jnp.maximum(1.0 - sq * (1.0 / re2), 0.0) ** 3
-                # sqrt + divide, not rsqrt: Mosaic's rsqrt is the ~1e-4
-                # hardware approximation; the jnp oracle's XLA rsqrt is
-                # Newton-refined and parity tests compare the two
-                w = kern / jnp.sqrt(jnp.maximum(sq, 1e-12))
-                w = jnp.where(degenerate, 0.0, w) * pair
-                wsum = wsum + jnp.sum(w, axis=1)
-                for c in range(3):
-                    wnbr[c] = wnbr[c] + jnp.sum(w * nb_pos[c][None, :], axis=1)
-                coin = coin + jnp.sum(jnp.where(degenerate, pair, 0.0), axis=1)
-                return wsum, tuple(wnbr), coin
+        # --- 4 mirrored in-plane taps (dy,dz) in {(0,1),(1,-1),(1,0),(1,1)}
+        # = t 5..8; the (-dy,-dz) mirrors are the j-side accumulations ---
+        def tap_c(t, acc):
+            wsum, wnbr, coin = acc
+            wnbr = list(wnbr)
+            dy = t // 3 - 1
+            dz = t % 3 - 1
+            nb_pos = rollyz(res_pos, (-dy) % ny, (-dz) % nz)
+            nb_mask = rollyz(res_mask, (-dy) % ny, (-dz) % nz)
+            ws_i, wx_i, co_i, ws_j, wx_j, co_j = pair_sums(
+                nb_pos, nb_mask, self_mask=False
+            )
+            # j-side sums are indexed by center coords; the particle they
+            # belong to sits at (y+dy, z+dz)
+            wsum = wsum + ws_i + rollyz(ws_j, dy % ny, dz % nz)
+            for c in range(3):
+                wnbr[c] = wnbr[c] + wx_i[c] + rollyz(wx_j[c], dy % ny, dz % nz)
+            coin = coin + co_i + rollyz(co_j, dy % ny, dz % nz)
+            return wsum, tuple(wnbr), coin
 
-            wsum, wnbr, coin = jax.lax.fori_loop(0, 9, tap, (wsum, wnbr, coin))
+        wsum, wnbr, coin = jax.lax.fori_loop(
+            5, 9, tap_c, (wsum, tuple(wnbr), coin)
+        )
+        wnbr = list(wnbr)
+
+        # --- 9 taps against plane i+1; j-side goes to the second output ---
+        wsum2, wnbr2, coin2 = zero, [zero, zero, zero], zero
+
+        def tap_r(t, acc):
+            wsum, wnbr, coin, wsum2, wnbr2, coin2 = acc
+            wnbr, wnbr2 = list(wnbr), list(wnbr2)
+            dy = t // 3 - 1
+            dz = t % 3 - 1
+            nb_pos = rollyz(r_pos, (-dy) % ny, (-dz) % nz)
+            nb_mask = rollyz(r_mask, (-dy) % ny, (-dz) % nz)
+            ws_i, wx_i, co_i, ws_j, wx_j, co_j = pair_sums(
+                nb_pos, nb_mask, self_mask=False
+            )
+            wsum = wsum + ws_i
+            wsum2 = wsum2 + rollyz(ws_j, dy % ny, dz % nz)
+            for c in range(3):
+                wnbr[c] = wnbr[c] + wx_i[c]
+                wnbr2[c] = wnbr2[c] + rollyz(wx_j[c], dy % ny, dz % nz)
+            coin = coin + co_i
+            coin2 = coin2 + rollyz(co_j, dy % ny, dz % nz)
+            return wsum, tuple(wnbr), coin, wsum2, tuple(wnbr2), coin2
+
+        wsum, wnbr, coin, wsum2, wnbr2, coin2 = jax.lax.fori_loop(
+            0, 9, tap_r,
+            (wsum, tuple(wnbr), coin, wsum2, tuple(wnbr2), coin2),
+        )
 
         if with_jitter:
             bits = pltpu.prng_random_bits((3, kc, ny, nz))
@@ -351,11 +401,19 @@ def _correction_kernel(
                 pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
                 * (1.0 / 2147483648.0)
             )
+            bits2 = pltpu.prng_random_bits((3, kc, ny, nz))
+            jitter2 = (
+                pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32)
+                * (1.0 / 2147483648.0)
+            )
         for c in range(3):
             out = res_pos[c] * wsum - wnbr[c]
+            out2 = r_pos[c] * wsum2 - wnbr2[c]
             if with_jitter:
                 out = out + coin * jitter[c]
+                out2 = out2 + coin2 * jitter2[c]
             springs_ref[c * kc : (c + 1) * kc, 0] = out
+            springs2_ref[c * kc : (c + 1) * kc, 0] = out2
 
 
 def correction_springs_pallas(
@@ -367,15 +425,19 @@ def correction_springs_pallas(
     with_jitter: bool = True,
 ) -> jnp.ndarray:
     """Per-slot correction springs incl. coincident-pair jitter; the payload
-    streams from HBM 3x (x-halo blocks) with zero window materialization.
-    Returns (3, KC, nx, ny, nz)."""
+    streams from HBM 2x (center + right plane blocks; Newton's-third-law
+    accumulation makes a left block unnecessary — see ``_correction_kernel``)
+    with zero window materialization. Returns (3, KC, nx, ny, nz)."""
     kc = res_pos.shape[1]
-    nx, ny, nz = cfg.grid_size
+    nx, ny, nz = res_pos.shape[2:]
 
     payload = jnp.concatenate(
         [res_pos.reshape(3 * kc, nx, ny, nz), res_mask], axis=0
     )
-    occ = plane_occupancy(res_mask)
+    # halo=0: a plane with no residents has no pairs at all in the
+    # symmetric-accumulation scheme (its (i-1, i) pairs are produced by the
+    # i-1 pass into springs2)
+    occ = plane_occupancy(res_mask, halo=0)
 
     def xblock(dx):
         return pl.BlockSpec(
@@ -384,17 +446,18 @@ def correction_springs_pallas(
             memory_space=pltpu.VMEM,
         )
 
+    out_spec = pl.BlockSpec(
+        (3 * kc, 1, ny, nz),
+        lambda i, *_: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nx,),
-        in_specs=[xblock(-1), xblock(0), xblock(1)],
-        out_specs=pl.BlockSpec(
-            (3 * kc, 1, ny, nz),
-            lambda i, *_: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=[xblock(0), xblock(1)],
+        out_specs=[out_spec, out_spec],
     )
-    springs = pl.pallas_call(
+    springs, springs_r = pl.pallas_call(
         functools.partial(
             _correction_kernel,
             kc=kc,
@@ -402,9 +465,14 @@ def correction_springs_pallas(
             with_jitter=with_jitter,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3 * kc, nx, ny, nz), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((3 * kc, nx, ny, nz), jnp.float32),
+            jax.ShapeDtypeStruct((3 * kc, nx, ny, nz), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray([seed], jnp.int32), occ, payload, payload, payload)
+    )(jnp.asarray([seed], jnp.int32), occ, payload, payload)
+    # springs_r[i] holds the plane-(i+1) side of the (i, i+1) pairs
+    springs = springs.at[:, 1:].add(springs_r[:, :-1])
     return springs.reshape(3, kc, nx, ny, nz)
