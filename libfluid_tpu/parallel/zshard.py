@@ -43,6 +43,7 @@ from libfluid_tpu.config import CellType, SimConfig, TransferScheme
 from libfluid_tpu.sim import binning as binning_mod
 from libfluid_tpu.sim import collisions as collisions_mod
 from libfluid_tpu.sim import correction as correction_mod
+from libfluid_tpu.sim import jitterhash
 from libfluid_tpu.sim import multigrid
 from libfluid_tpu.sim import pressure as pressure_mod
 from libfluid_tpu.sim import slots as slots_mod
@@ -714,7 +715,8 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
     if cfg.enable_position_correction:
         key, sub = jax.random.split(key)
         pos_l = _correct_positions_local(
-            pos_l, act, slot_grid, data_ext, cfg, cfg_e, dt, sub, zshift
+            pos_l, act, slot_grid, data_ext, cfg, cfg_e, dt, sub, zshift,
+            z0=d * nzl,
         )
     if cfg.enable_collisions:
         cp = collisions_mod.resolve_collisions(
@@ -830,15 +832,23 @@ def _remove_boundary_normals_local(g: LocalGrid, d, ndev) -> LocalGrid:
 
 
 def _correct_positions_local(
-    pos_l, act, slot_grid, data_ext, cfg: SimConfig, cfg_e: SimConfig, dt, key, zshift
+    pos_l, act, slot_grid, data_ext, cfg: SimConfig, cfg_e: SimConfig, dt,
+    key, zshift, z0=0,
 ):
     """``correction.correct_positions`` against the ghost-extended slot grid;
-    springs for the owned cells are cropped back out."""
+    springs for the owned cells are cropped back out. ``z0`` is the global z
+    cell coordinate of local cell 0 (the jitter hashes GLOBAL coordinates so
+    the sharded springs agree bit-for-bit with the dense path's — the ghost
+    layer at ext z=0 is global z0-1, i.e. the neighbor-below's edge layer,
+    and both sides hash it identically)."""
     kc = min(cfg.correction_capacity, slot_grid.capacity)
     res_pos = data_ext[slots_mod.COL_POS][:, :kc]  # (3, KC, nx, ny, nzl+2)
     res_mask = data_ext[slots_mod.COL_MASK][:kc]
     re2 = cfg.cell_size * cfg.cell_size / 2.0
-    springs = correction_mod._springs_jnp(res_pos, res_mask, re2, key, cfg_e)
+    seed = jitterhash.seed_from_key(key)
+    springs = correction_mod._springs_jnp(
+        res_pos, res_mask, re2, seed, cfg_e, origin=(0, 0, z0 - 1)
+    )
     springs = springs[..., 1:-1]  # crop ghosts -> (3, KC, nx, ny, nzl)
 
     num_cells = cfg.nx * cfg.ny * (slot_grid.data.shape[-1])

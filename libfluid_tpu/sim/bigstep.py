@@ -31,6 +31,7 @@ from libfluid_tpu.config import SimConfig, TransferScheme
 from libfluid_tpu.sim import collisions as collisions_mod
 from libfluid_tpu.sim import correction as correction_mod
 from libfluid_tpu.sim import extrapolation as extrapolation_mod
+from libfluid_tpu.sim import jitterhash
 from libfluid_tpu.sim import pressure as pressure_mod
 from libfluid_tpu.sim import slots as slots_mod
 from libfluid_tpu.sim import slotsort
@@ -120,6 +121,18 @@ def substep_tiled(
 
     kcor = min(cfg.correction_capacity, k)
 
+    # one substep-wide jitter seed, derived EXACTLY like step.substep's
+    # (split once at the correction stage): the coincident-pair jitter is a
+    # hash of (seed, global cell, slot) so every slab — and the dense
+    # path — evaluates the same field (ADVICE r4 high: per-slab key splits
+    # broke dense<->tiled equivalence)
+    key = state.key
+    if cfg.enable_position_correction:
+        key, sub = jax.random.split(key)
+        jitter_seed = jitterhash.seed_from_key(sub)
+    else:
+        jitter_seed = jnp.int32(0)
+
     def expand_slab(s):
         c0 = s * sx * nynz  # padded coords: global layer s*sx - 1
         data = slotsort.expand_range(rs_p, pcfg, c0, slab_c, blk)
@@ -131,7 +144,7 @@ def substep_tiled(
 
     # --- pass 1: P2G accumulation + correction springs, slab by slab ---
     def slab_body(s, carry):
-        nums, dens, springs_g, key = carry
+        nums, dens, springs_g = carry
         data, off = expand_slab(s)
 
         sg = slots_mod.SlotGrid(data=data, slot_of=None, overflow=None)
@@ -180,15 +193,18 @@ def substep_tiled(
         )
 
         if cfg.enable_position_correction:
-            key, sub = jax.random.split(key)
             re2 = cfg.cell_size * cfg.cell_size / 2.0
+            origin = jnp.stack(
+                [s * sx - 1, jnp.int32(0), jnp.int32(0)]
+            )  # local plane 0 = global s*sx - 1
             spr = correction_mod._springs(
-                data[0:3, :kcor], data[3, :kcor], sub, re2, scfg
+                data[0:3, :kcor], data[3, :kcor], jitter_seed, origin,
+                re2, scfg,
             )  # (3, KC, sx+2, ny, nz)
             springs_g = jax.lax.dynamic_update_slice(
                 springs_g, spr[:, :, 1 : sx + 1], (0, 0, x0, 0, 0)
             )
-        return nums, dens, springs_g, key
+        return nums, dens, springs_g
 
     nums0 = (
         # u faces 0..nx-1 only: the final plane (x = nx) is appended from
@@ -203,8 +219,8 @@ def substep_tiled(
     # the last global u-face plane (x = nx) is fed only by the last cell
     # layer; fold it in by treating slab faces [1, sx+2) for the final slab.
     # Simpler: accumulate it from the dense hi-plane pass after the loop.
-    nums, dens, springs_g, key = jax.lax.fori_loop(
-        0, slabs, slab_body, (nums0, dens0, springs0, state.key)
+    nums, dens, springs_g = jax.lax.fori_loop(
+        0, slabs, slab_body, (nums0, dens0, springs0)
     )
 
     # final u-face plane x = nx from the last slab's data (tiny, recompute)

@@ -14,8 +14,10 @@ XLA streams one fused kernel per offset. Only the first
 ``correction_capacity`` slots per cell participate (the spring force is a
 bounded heuristic; with the default 8-particles-per-cell seeding the
 truncation is inactive). The reference's per-thread RNG for coincident pairs
-(``simulation.cpp:585-589``) becomes one counter-based ``jax.random`` vector
-per resident slot, scaled by its coincident-pair count.
+(``simulation.cpp:585-589``) becomes one counter-based hash jitter per
+resident slot (:mod:`libfluid_tpu.sim.jitterhash` — deterministic in the
+GLOBAL cell coordinates so the dense, tiled and z-sharded paths agree
+bit-for-bit), scaled by its coincident-pair count.
 """
 
 from __future__ import annotations
@@ -28,10 +30,15 @@ import jax.numpy as jnp
 
 from libfluid_tpu.config import SimConfig
 from libfluid_tpu.sim import binning as binning_mod
+from libfluid_tpu.sim import jitterhash
 from libfluid_tpu.sim import slots as slots_mod
 
+_ZERO_ORIGIN = (0, 0, 0)
 
-def _springs_jnp(res_pos, res_mask, re2, key, cfg: SimConfig) -> jnp.ndarray:
+
+def _springs_jnp(
+    res_pos, res_mask, re2, seed, cfg: SimConfig, origin=_ZERO_ORIGIN
+) -> jnp.ndarray:
     """Per-slot springs, pure jnp (the semantic oracle and the CPU path).
 
     springs = sum_j w_ij (x_i - x_j) = x_i * (sum_j w_ij) - sum_j w_ij x_j,
@@ -69,34 +76,47 @@ def _springs_jnp(res_pos, res_mask, re2, key, cfg: SimConfig) -> jnp.ndarray:
     springs = res_pos * wsum[None] - wnbr
 
     # near-coincident pairs contribute a uniform random force in [-1,1]^3
-    # (ref simulation.cpp:585-589): one draw per resident scaled by its
-    # coincident-pair count (a per-pair tensor would be 27x the PRNG work)
-    jitter = jax.random.uniform(key, res_pos.shape, cfg.dtype, minval=-1.0, maxval=1.0)
+    # (ref simulation.cpp:585-589): one deterministic hash value per
+    # (global cell, slot, component) scaled by the slot's coincident-pair
+    # count — identical across the dense/tiled/z-sharded paths by
+    # construction (ADVICE r4 high: path-dependent jax.random draws broke
+    # dense<->tiled equivalence)
+    jitter = jitterhash.jitter_field(
+        seed, res_pos.shape[1], res_pos.shape[2:], origin, cfg.dtype
+    )
     return springs + coincident[None] * jitter
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _springs(res_pos, res_mask, key, re2: float, cfg: SimConfig):
-    """Springs with Pallas forward on TPU and the jnp VJP for gradients (the
-    coincident jitter uses the in-kernel PRNG on the Pallas path — random
-    either way)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _springs(res_pos, res_mask, seed, origin, re2: float, cfg: SimConfig):
+    """Springs with Pallas forward on TPU and the jnp VJP for gradients.
+    ``seed`` is an int32 scalar (jitterhash.seed_from_key); ``origin`` a
+    length-3 int32 global offset — the coincident jitter hashes the two
+    identically on both backends, so Pallas == jnp bit-for-bit intent."""
     from libfluid_tpu.sim import kernels
 
     if kernels.pallas_ok(cfg):
-        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
-        return kernels.correction_springs_pallas(res_pos, res_mask, re2, seed, cfg)
-    return _springs_jnp(res_pos, res_mask, re2, key, cfg)
+        return kernels.correction_springs_pallas(
+            res_pos, res_mask, re2, seed, cfg, origin_x=origin[0]
+        )
+    return _springs_jnp(res_pos, res_mask, re2, seed, cfg, origin=origin)
 
 
-def _springs_fwd(res_pos, res_mask, key, re2: float, cfg: SimConfig):
-    return _springs(res_pos, res_mask, key, re2, cfg), (res_pos, res_mask, key)
+def _springs_fwd(res_pos, res_mask, seed, origin, re2: float, cfg: SimConfig):
+    return (
+        _springs(res_pos, res_mask, seed, origin, re2, cfg),
+        (res_pos, res_mask, seed, origin),
+    )
 
 
 def _springs_bwd(re2: float, cfg: SimConfig, residuals, g):
-    res_pos, res_mask, key = residuals
-    _, vjp = jax.vjp(lambda p, m: _springs_jnp(p, m, re2, key, cfg), res_pos, res_mask)
+    res_pos, res_mask, seed, origin = residuals
+    _, vjp = jax.vjp(
+        lambda p, m: _springs_jnp(p, m, re2, seed, cfg, origin=origin),
+        res_pos, res_mask,
+    )
     dp, dm = vjp(g)
-    return dp, dm, None
+    return dp, dm, None, None
 
 
 _springs.defvjp(_springs_fwd, _springs_bwd)
@@ -193,7 +213,9 @@ def correct_positions(
     res_pos = slot_grid.position[:, :kc]  # (3, KC, nx, ny, nz)
     res_mask = slot_grid.mask[:kc]  # (KC, nx, ny, nz)
     re2 = cfg.cell_size * cfg.cell_size / 2.0
-    springs = _springs(res_pos, res_mask, key, re2, cfg)
+    seed = jitterhash.seed_from_key(key)
+    origin = jnp.zeros((3,), jnp.int32)
+    springs = _springs(res_pos, res_mask, seed, origin, re2, cfg)
 
     # slot springs -> particles (slot index rank*num_cells + cell is
     # unchanged by slicing ranks < KC). Measured on-chip: three scalar

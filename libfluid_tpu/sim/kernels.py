@@ -253,7 +253,7 @@ def p2g_lo_faces_pallas(
 
 
 def _correction_kernel(
-    seed_ref,  # (1,) int32 scalar prefetch
+    seed_ref,  # (2,) int32 scalar prefetch: [jitter seed, global x origin]
     occ_ref,  # (nx,) int32 scalar prefetch
     ctr_ref,  # VMEM (4KC, 1, ny, nz): pos rows then mask rows, plane i
     right_ref,  # plane i+1 (clamped)
@@ -285,8 +285,6 @@ def _correction_kernel(
 
     @pl.when(occ_ref[i] > 0)
     def _():
-        if with_jitter:
-            pltpu.prng_seed(seed_ref[0] + 7368787 * i)
         ny, nz = ctr_ref.shape[-2], ctr_ref.shape[-1]
         res = ctr_ref[:, 0]  # (4KC, ny, nz)
         res_pos = res[: 3 * kc].reshape(3, kc, ny, nz)
@@ -396,22 +394,28 @@ def _correction_kernel(
         )
 
         if with_jitter:
-            bits = pltpu.prng_random_bits((3, kc, ny, nz))
-            jitter = (
-                pltpu.bitcast(bits, jnp.int32).astype(jnp.float32)
-                * (1.0 / 2147483648.0)
-            )
-            bits2 = pltpu.prng_random_bits((3, kc, ny, nz))
-            jitter2 = (
-                pltpu.bitcast(bits2, jnp.int32).astype(jnp.float32)
-                * (1.0 / 2147483648.0)
-            )
+            # deterministic counter-based jitter (jitterhash): hashes the
+            # GLOBAL cell coordinates, so the plane-(i+1) sums accumulated
+            # here (springs2) use the SAME values plane i+1 computes for
+            # itself — and the kernel agrees bit-for-bit with the jnp
+            # oracle and with every sharded/tiled path
+            from libfluid_tpu.sim import jitterhash
+
+            seed = seed_ref[0]
+            gx = i + seed_ref[1]
+            k_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 0)
+            y_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 1)
+            z_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 2)
+
+            def jit_plane(gxv, c):
+                return jitterhash.jitter_value(seed, gxv, y_i, z_i, k_i, c)
+
         for c in range(3):
             out = res_pos[c] * wsum - wnbr[c]
             out2 = r_pos[c] * wsum2 - wnbr2[c]
             if with_jitter:
-                out = out + coin * jitter[c]
-                out2 = out2 + coin2 * jitter2[c]
+                out = out + coin * jit_plane(gx, c)
+                out2 = out2 + coin2 * jit_plane(gx + 1, c)
             springs_ref[c * kc : (c + 1) * kc, 0] = out
             springs2_ref[c * kc : (c + 1) * kc, 0] = out2
 
@@ -423,6 +427,7 @@ def correction_springs_pallas(
     seed: jnp.ndarray,  # () int32
     cfg: SimConfig,
     with_jitter: bool = True,
+    origin_x=0,  # global x coordinate of local plane 0 (tiled slabs)
 ) -> jnp.ndarray:
     """Per-slot correction springs incl. coincident-pair jitter; the payload
     streams from HBM 2x (center + right plane blocks; Newton's-third-law
@@ -472,7 +477,12 @@ def correction_springs_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray([seed], jnp.int32), occ, payload, payload)
+    )(
+        jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(origin_x, jnp.int32)]
+        ),
+        occ, payload, payload,
+    )
     # springs_r[i] holds the plane-(i+1) side of the (i, i+1) pairs
     springs = springs.at[:, 1:].add(springs_r[:, :-1])
     return springs.reshape(3, kc, nx, ny, nz)

@@ -156,3 +156,75 @@ def test_pixel_grad_through_mesher_allclose_fd():
 
     # gradient exists, is finite, and matches FD on strong coordinates
     _fd_check(loss, pos0, eps=2e-3, rtol=8e-2, atol=2e-5, n_probe=4)
+
+
+def test_pixel_grad_composed_sim_to_pixels_allclose_fd():
+    """THE composed north-star gate (BASELINE.md:34-36, VERDICT r4 missing
+    #1): pixels -> render -> marching cubes -> ONE FULL SUBSTEP (P2G ->
+    pressure projection with the implicit-adjoint VJP -> G2P -> advection)
+    -> initial particle VELOCITIES. Every stage was FD-gated individually in
+    earlier rounds; this closes the composition with common random numbers.
+
+    A probe moves a particle's initial velocity; the substep advects and
+    re-projects the blob, the mesher re-extracts the surface, the renderer
+    re-shades it — AD through the whole chain must match central FD. Small
+    eps keeps MC topology and cell binning on the smooth branch; probes are
+    the strongest-gradient coordinates (silhouette terms excluded, as in the
+    per-stage gates above).
+    """
+    from libfluid_tpu.config import MesherConfig, SimConfig, TransferScheme
+    from libfluid_tpu.mesher.surface import sample_surface
+    from libfluid_tpu.mesher.marching_cubes import marching_cubes
+    from libfluid_tpu.renderer.camera import Camera
+    from libfluid_tpu.renderer.scene import SceneBuilder, inject_mesh
+    from libfluid_tpu.sim import new_state, seed_box, substep
+
+    cfg = SimConfig(
+        grid_size=(16, 16, 16), cell_size=1.0, gravity=(0.0, -10.0, 0.0),
+        particle_capacity=1 << 13, scheme=TransferScheme.APIC,
+        has_obstacles=False,
+        # correction ON would be fine for AD, but its truncated-overflow
+        # selection flips ranks under FD probes; keep the gate on the
+        # smooth-branch configuration
+        enable_position_correction=False,
+    )
+    state0 = new_state(cfg, jax.random.PRNGKey(3))
+    state0 = seed_box(state0, cfg, (5.0, 2.0, 5.0), (11.0, 6.0, 11.0))
+
+    b = SceneBuilder()
+    white = b.lambertian((0.75, 0.75, 0.75))
+    light = b.lambertian((0.8, 0.8, 0.8), emission=(60.0, 60.0, 60.0))
+    water = b.lambertian((0.4, 0.55, 0.8))
+    import numpy as np2
+    floor = np2.array(
+        [[16, 0, 16], [0, 0, 16], [0, 0, 0], [16, 0, 0]], float
+    )
+    b.add_mesh(floor, np2.array([[0, 1, 2], [0, 2, 3]]), white)
+    lamp = np2.array(
+        [[11, 15.2, 11], [5, 15.2, 11], [5, 15.2, 5], [11, 15.2, 5]], float
+    )
+    b.add_mesh(lamp, np2.array([[0, 2, 1], [0, 3, 2]]), light)
+    scene0 = b.finish()
+    cam = Camera.from_parameters(
+        jnp.asarray([8.0, 10.0, 26.0]), jnp.asarray([8.0, 4.0, 8.0]),
+        jnp.asarray([0.0, 1.0, 0.0]), np.deg2rad(45.0), 1.0,
+    )
+    mcfg = MesherConfig(
+        grid_size=(16, 16, 16), cell_size=1.0, grid_offset=(0.0, 0.0, 0.0),
+        max_triangles=1 << 11,
+    )
+    rcfg = RenderConfig(
+        width=8, height=8, samples_per_pixel=2, max_bounces=3,
+        differentiable=True,
+    )
+
+    def loss(vel0):
+        st = state0._replace(velocity=vel0)
+        st, _ = substep(st, cfg, 0.05)
+        sdf = sample_surface(st.position, st.active, mcfg)
+        mesh = marching_cubes(sdf, mcfg)
+        s = inject_mesh(scene0, mesh.vertices, mesh.valid, water)
+        return jnp.mean(render(s, cam, rcfg, KEY))
+
+    _fd_check(loss, state0.velocity, eps=2e-2, rtol=0.1, atol=3e-6,
+              n_probe=4)
