@@ -712,8 +712,16 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
 
     # --- position correction on the ghost-extended slot grid ---
     key = state.key
+    corr_unc = jnp.int32(0)
     if cfg.enable_position_correction:
         key, sub = jax.random.split(key)
+        kc_l = min(cfg.correction_capacity, slot_grid.capacity)
+        ncl = cfg.nx * cfg.ny * slot_grid.data.shape[-1]
+        corr_unc = jnp.maximum(
+            0,
+            jnp.sum((act & (slot_grid.slot_of >= kc_l * ncl)).astype(jnp.int32))
+            - cfg.correction_overflow_capacity,
+        )
         pos_l = _correct_positions_local(
             pos_l, act, slot_grid, data_ext, cfg, cfg_e, dt, sub, zshift,
             z0=d * nzl,
@@ -777,6 +785,7 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
             jnp.sum(slot_grid.overflow.astype(jnp.int32)), AXIS
         ),
         particles_lost=lost,
+        correction_uncorrected=lax.psum(corr_unc, AXIS),
     )
 
     new_state = state._replace(

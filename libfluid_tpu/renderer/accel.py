@@ -58,7 +58,7 @@ def _valid_tris(scene) -> jnp.ndarray:
     return scene.tri_mat > 0
 
 
-def build(scene, res: Tuple[int, int, int] = (64, 64, 64), big_capacity: int = 1024) -> Accel:
+def build(scene, res: Tuple[int, int, int] = (64, 64, 64), big_capacity: int = 128) -> Accel:
     """Build the uniform grid for `scene`'s triangles (jittable).
 
     Entry capacity is exact: every small triangle occupies at most 2x2x2
@@ -171,23 +171,48 @@ CHUNK = 8  # triangles tested per ray per wavefront iteration. The DDA loop
 # per step is still tiny)
 
 
-def traverse(
+class TravState(NamedTuple):
+    """Per-ray DDA traversal state — exposed so the persistent-threads path
+    tracer can interleave single traversal steps with shading/respawn (the
+    megakernel in :mod:`libfluid_tpu.renderer.pathtrace`): a lane whose ray
+    finishes early starts its next ray immediately instead of idling in
+    lock-step while the slowest ray of the batch walks the grid."""
+
+    active: jnp.ndarray  # (R,) still traversing
+    cell3: jnp.ndarray  # (R, 3)
+    t_next: jnp.ndarray  # (R, 3)
+    t_cur: jnp.ndarray  # (R,)
+    start: jnp.ndarray  # (R,)
+    cnt: jnp.ndarray  # (R,)
+    dist: jnp.ndarray  # (R,)
+    k: jnp.ndarray  # (R,) triangles tested so far in the current cell
+    best_t: jnp.ndarray
+    best_id: jnp.ndarray
+    best_u: jnp.ndarray
+    best_v: jnp.ndarray
+
+
+def _fetch(accel: Accel, c3):
+    rx, ry, rz = accel.res
+    flat = (c3[:, 0] * ry + c3[:, 1]) * rz + c3[:, 2]
+    flat = jnp.clip(flat, 0, rx * ry * rz - 1)
+    s = accel.cell_start[flat]
+    e = accel.cell_start[flat + 1]
+    return s, e - s, accel.dist[flat]
+
+
+def init_state(
     accel: Accel,
     tri_pack: jnp.ndarray,  # (T+1, 9): p0|e1|e2 rows, last row degenerate
     origin: jnp.ndarray,  # (R, 3)
     direction: jnp.ndarray,  # (R, 3)
     t_max,
-    max_iters: Optional[int] = None,
-):
-    """Nearest triangle hit per ray: returns (t, tri_id, u, v) with t == t_max
-    and tri_id == -1 for misses. t is in units of |direction|."""
+) -> TravState:
+    """Fresh traversal state: brute-forces the (small, static) big-triangle
+    list and clips against the grid box; the DDA starts at the entry cell."""
     rx, ry, rz = accel.res
     r = origin.shape[0]
     dtype = origin.dtype
-    if max_iters is None:
-        max_iters = 2 * (rx + ry + rz) + 64
-
-    e_cap = accel.tri_ids.shape[0]
     resv = jnp.asarray([rx, ry, rz], jnp.int32)
 
     best_t = jnp.full((r,), t_max, dtype)
@@ -227,7 +252,6 @@ def traverse(
     cellf = (p - box_lo) / accel.cell
     cell3 = jnp.clip(jnp.floor(cellf).astype(jnp.int32), 0, resv - 1)
     step = jnp.sign(direction).astype(jnp.int32)
-    t_delta = jnp.abs(accel.cell * inv_d)
     next_bound = (
         box_lo
         + (cell3 + (step > 0).astype(jnp.int32)).astype(dtype) * accel.cell
@@ -235,119 +259,152 @@ def traverse(
     t_next = jnp.where(
         step == 0, _BIG, (next_bound - origin) * inv_d
     )  # (R, 3)
+    start0, cnt0, dist0 = _fetch(accel, cell3)
+    return TravState(
+        active=~misses_box,
+        cell3=cell3,
+        t_next=t_next,
+        t_cur=t_enter,
+        start=start0,
+        cnt=cnt0,
+        dist=dist0,
+        k=jnp.zeros((r,), jnp.int32),
+        best_t=best_t,
+        best_id=best_id,
+        best_u=best_u,
+        best_v=best_v,
+    )
 
-    def flat_of(c3):
-        return (c3[:, 0] * ry + c3[:, 1]) * rz + c3[:, 2]
 
-    def fetch(c3):
-        flat = jnp.clip(flat_of(c3), 0, rx * ry * rz - 1)
-        s = accel.cell_start[flat]
-        e = accel.cell_start[flat + 1]
-        return s, e - s, accel.dist[flat]
-
-    start0, cnt0, dist0 = fetch(cell3)
-    # the fastest-crossed axis bounds any safe empty-space jump: traveling
-    # k*min(t_delta) moves at most k cells on EVERY axis (L-inf ball)
+def step_state(
+    accel: Accel,
+    tri_pack: jnp.ndarray,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    st: TravState,
+) -> TravState:
+    """One lockstep traversal iteration: test a CHUNK of the current cell's
+    triangles AND advance rays whose cell is exhausted (a <=CHUNK-triangle
+    cell costs one iteration, not two). Advancing through empty space uses
+    the proximity cloud: from a cell whose nearest occupied cell is `dist`
+    away, hop dist-1 cells in one go (traveling k*min(t_delta) moves at most
+    k cells on EVERY axis — an L-inf ball the distance field guarantees
+    empty) and re-derive the DDA state from the landing point."""
+    rx, ry, rz = accel.res
+    dtype = origin.dtype
+    resv = jnp.asarray([rx, ry, rz], jnp.int32)
+    e_cap = accel.tri_ids.shape[0]
+    box_lo = accel.lo
+    inv_d = jnp.where(jnp.abs(direction) > 1e-30, 1.0 / direction, _BIG)
+    step = jnp.sign(direction).astype(jnp.int32)
+    t_delta = jnp.abs(accel.cell * inv_d)
     t_min_delta = jnp.min(jnp.where(step == 0, _BIG, t_delta), axis=-1)
 
-    def recompute(t_at):
-        """Fresh DDA state for the point at parameter t_at (post-jump)."""
-        p = origin + direction * t_at[:, None]
-        c3 = jnp.floor((p - box_lo) / accel.cell).astype(jnp.int32)
-        nb = (
-            box_lo
-            + (c3 + (step > 0).astype(jnp.int32)).astype(dtype) * accel.cell
-        )
-        tn = jnp.where(step == 0, _BIG, (nb - origin) * inv_d)
-        return c3, tn
+    (active, cell3, t_next, t_cur, start, cnt, dist, k,
+     best_t, best_id, best_u, best_v) = st
 
-    def body(state):
-        (it, active, cell3, t_next, t_cur, start, cnt, dist, k,
-         best_t, best_id, best_u, best_v) = state
+    testing = active & (k < cnt)
 
-        testing = active & (k < cnt)
-
-        # --- test a chunk of the current cell's triangles ---
-        idx = start[:, None] + k[:, None] + jnp.arange(CHUNK, dtype=jnp.int32)[None]
-        in_list = testing[:, None] & (idx < (start + cnt)[:, None])
-        ids = accel.tri_ids[jnp.clip(idx, 0, e_cap - 1)]  # (R, CHUNK)
-        rows = tri_pack[jnp.where(in_list, ids, tri_pack.shape[0] - 1)]  # (R, CHUNK, 9)
-        hit, t, u, v = _moller_trumbore(
-            origin[:, None], direction[:, None],
-            rows[..., 0:3], rows[..., 3:6], rows[..., 6:9],
-        )
-        hit = hit & in_list & (t < best_t[:, None])
-        tm = jnp.where(hit, t, _BIG)
-        j = jnp.argmin(tm, axis=1)
-        tj = jnp.take_along_axis(tm, j[:, None], 1)[:, 0]
-        closer = tj < best_t
-        best_id = jnp.where(closer, jnp.take_along_axis(ids, j[:, None], 1)[:, 0], best_id)
-        best_u = jnp.where(closer, jnp.take_along_axis(u, j[:, None], 1)[:, 0], best_u)
-        best_v = jnp.where(closer, jnp.take_along_axis(v, j[:, None], 1)[:, 0], best_v)
-        best_t = jnp.where(closer, tj, best_t)
-        k = jnp.where(testing, k + CHUNK, k)
-
-        # --- advance every ray whose cell is exhausted — INCLUDING rays
-        # that just finished their last chunk above (fused test+advance: a
-        # <=CHUNK-triangle cell costs one iteration, not two) ---
-        stepping = active & (k >= cnt)
-        axis = jnp.argmin(t_next, axis=-1)  # (R,)
-        t_exit = jnp.take_along_axis(t_next, axis[:, None], -1)[:, 0]
-        # nearest confirmed once the current cell lies past it
-        finished = stepping & (t_exit >= best_t)
-
-        # single-cell DDA step (the near-surface / occupied-neighborhood case)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        new_cell = cell3 + onehot * step
-        oob = jnp.any((new_cell < 0) | (new_cell >= resv), axis=-1)
-        finished = finished | (stepping & oob)
-        move = stepping & ~finished
-
-        # empty-space jump (proximity cloud): from a cell whose nearest
-        # occupied cell is dist away, hop dist-1 cells in one go and
-        # re-derive the DDA state from the landing point
-        jump = move & (dist >= 2)
-        t_land = t_cur + (dist - 1).astype(dtype) * t_min_delta + 1e-6
-        c3_j, tn_j = recompute(t_land)
-        oob_j = jnp.any((c3_j < 0) | (c3_j >= resv), axis=-1)
-        finished = finished | (jump & oob_j)
-        jump = jump & ~oob_j
-        move = move & ~jump
-
-        cell3 = jnp.where(
-            jump[:, None], c3_j, jnp.where(move[:, None], new_cell, cell3)
-        )
-        t_next = jnp.where(
-            jump[:, None],
-            tn_j,
-            jnp.where(
-                move[:, None], t_next + onehot.astype(dtype) * t_delta, t_next
-            ),
-        )
-        t_cur = jnp.where(jump, t_land, jnp.where(move, t_exit, t_cur))
-        moved = move | jump
-        s2, c2, d2 = fetch(cell3)
-        start = jnp.where(moved, s2, start)
-        cnt = jnp.where(moved, c2, cnt)
-        dist = jnp.where(moved, d2, dist)
-        k = jnp.where(moved, 0, k)
-        active = active & ~finished
-
-        return (it + 1, active, cell3, t_next, t_cur, start, cnt, dist, k,
-                best_t, best_id, best_u, best_v)
-
-    def cond(state):
-        it, active = state[0], state[1]
-        return (it < max_iters) & jnp.any(active)
-
-    active0 = ~misses_box
-    state = (
-        jnp.int32(0), active0, cell3, t_next, t_enter, start0, cnt0, dist0,
-        jnp.zeros((r,), jnp.int32), best_t, best_id, best_u, best_v,
+    # --- test a chunk of the current cell's triangles ---
+    idx = start[:, None] + k[:, None] + jnp.arange(CHUNK, dtype=jnp.int32)[None]
+    in_list = testing[:, None] & (idx < (start + cnt)[:, None])
+    ids = accel.tri_ids[jnp.clip(idx, 0, e_cap - 1)]  # (R, CHUNK)
+    rows = tri_pack[jnp.where(in_list, ids, tri_pack.shape[0] - 1)]  # (R, CHUNK, 9)
+    hit, t, u, v = _moller_trumbore(
+        origin[:, None], direction[:, None],
+        rows[..., 0:3], rows[..., 3:6], rows[..., 6:9],
     )
-    state = jax.lax.while_loop(cond, body, state)
-    best_t, best_id, best_u, best_v = state[9], state[10], state[11], state[12]
-    return best_t, best_id, best_u, best_v
+    hit = hit & in_list & (t < best_t[:, None])
+    tm = jnp.where(hit, t, _BIG)
+    j = jnp.argmin(tm, axis=1)
+    tj = jnp.take_along_axis(tm, j[:, None], 1)[:, 0]
+    closer = tj < best_t
+    best_id = jnp.where(closer, jnp.take_along_axis(ids, j[:, None], 1)[:, 0], best_id)
+    best_u = jnp.where(closer, jnp.take_along_axis(u, j[:, None], 1)[:, 0], best_u)
+    best_v = jnp.where(closer, jnp.take_along_axis(v, j[:, None], 1)[:, 0], best_v)
+    best_t = jnp.where(closer, tj, best_t)
+    k = jnp.where(testing, k + CHUNK, k)
+
+    # --- advance every ray whose cell is exhausted ---
+    stepping = active & (k >= cnt)
+    axis = jnp.argmin(t_next, axis=-1)  # (R,)
+    t_exit = jnp.take_along_axis(t_next, axis[:, None], -1)[:, 0]
+    # nearest confirmed once the current cell lies past it
+    finished = stepping & (t_exit >= best_t)
+
+    # single-cell DDA step (the near-surface / occupied-neighborhood case)
+    onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+    new_cell = cell3 + onehot * step
+    oob = jnp.any((new_cell < 0) | (new_cell >= resv), axis=-1)
+    finished = finished | (stepping & oob)
+    move = stepping & ~finished
+
+    # empty-space jump (proximity cloud)
+    jump = move & (dist >= 2)
+    t_land = t_cur + (dist - 1).astype(dtype) * t_min_delta + 1e-6
+    p_land = origin + direction * t_land[:, None]
+    c3_j = jnp.floor((p_land - box_lo) / accel.cell).astype(jnp.int32)
+    nb_j = (
+        box_lo
+        + (c3_j + (step > 0).astype(jnp.int32)).astype(dtype) * accel.cell
+    )
+    tn_j = jnp.where(step == 0, _BIG, (nb_j - origin) * inv_d)
+    oob_j = jnp.any((c3_j < 0) | (c3_j >= resv), axis=-1)
+    finished = finished | (jump & oob_j)
+    jump = jump & ~oob_j
+    move = move & ~jump
+
+    cell3 = jnp.where(
+        jump[:, None], c3_j, jnp.where(move[:, None], new_cell, cell3)
+    )
+    t_next = jnp.where(
+        jump[:, None],
+        tn_j,
+        jnp.where(
+            move[:, None], t_next + onehot.astype(dtype) * t_delta, t_next
+        ),
+    )
+    t_cur = jnp.where(jump, t_land, jnp.where(move, t_exit, t_cur))
+    moved = move | jump
+    s2, c2, d2 = _fetch(accel, cell3)
+    start = jnp.where(moved, s2, start)
+    cnt = jnp.where(moved, c2, cnt)
+    dist = jnp.where(moved, d2, dist)
+    k = jnp.where(moved, 0, k)
+    active = active & ~finished
+
+    return TravState(
+        active, cell3, t_next, t_cur, start, cnt, dist, k,
+        best_t, best_id, best_u, best_v,
+    )
+
+
+def traverse(
+    accel: Accel,
+    tri_pack: jnp.ndarray,  # (T+1, 9): p0|e1|e2 rows, last row degenerate
+    origin: jnp.ndarray,  # (R, 3)
+    direction: jnp.ndarray,  # (R, 3)
+    t_max,
+    max_iters: Optional[int] = None,
+):
+    """Nearest triangle hit per ray: returns (t, tri_id, u, v) with t == t_max
+    and tri_id == -1 for misses. t is in units of |direction|."""
+    rx, ry, rz = accel.res
+    if max_iters is None:
+        max_iters = 2 * (rx + ry + rz) + 64
+
+    st0 = init_state(accel, tri_pack, origin, direction, t_max)
+
+    def cond(carry):
+        it, st = carry
+        return (it < max_iters) & jnp.any(st.active)
+
+    def body(carry):
+        it, st = carry
+        return it + 1, step_state(accel, tri_pack, origin, direction, st)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st0))
+    return st.best_t, st.best_id, st.best_u, st.best_v
 
 
 def pack_tris(scene) -> jnp.ndarray:

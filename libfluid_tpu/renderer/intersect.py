@@ -107,7 +107,6 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
     With ``scene.accel`` set (see :mod:`libfluid_tpu.renderer.accel`) the
     triangle search runs the uniform-grid DDA; otherwise the chunked
     brute-force scan below (fine for the canned few-triangle scenes)."""
-    r = origin.shape[0]
     if scene.accel is not None:
         from libfluid_tpu.renderer import accel as accel_mod
 
@@ -122,7 +121,17 @@ def ray_cast(scene: Scene, origin: jnp.ndarray, direction: jnp.ndarray, t_max=_B
         tri_t, tri_id, tri_u, tri_v = _brute_force_tris(
             scene, origin, direction, t_max
         )
+    return finalize_hit(scene, origin, direction, tri_t, tri_id, tri_u, tri_v, t_max)
 
+
+def finalize_hit(
+    scene: Scene, origin, direction, tri_t, tri_id, tri_u, tri_v, t_max=_BIG
+) -> HitRecord:
+    """Fold the sphere primitives into a finished triangle search and derive
+    the shading payload (position/normal/material/uv). Split out of
+    ``ray_cast`` so the persistent megakernel (pathtrace) can run it on
+    lanes whose grid traversal just completed."""
+    r = origin.shape[0]
     # spheres: transform to local, hit unit sphere (primitive.cpp:59-135).
     # Padding spheres (the no-sphere sentinel at translation 1e30) are masked
     # by their reserved null material; the clip keeps |o_loc|^2 finite so the

@@ -136,12 +136,35 @@ def trace_persistent(
     spp x max_bounces (VERDICT r3 weak #3: RR without compaction bought no
     wall-clock — dead lanes still occupied the wavefront every bounce).
 
+    With ``scene.accel`` set, the traversal itself is folded into the
+    persistent loop (the megakernel below): ONE grid-DDA step per iteration
+    per lane, shading+respawn the moment a lane's own traversal completes.
+    Calling ``intersect.ray_cast`` per bounce instead would nest a lockstep
+    while_loop whose every iteration the whole wavefront pays until the
+    SLOWEST ray's walk finishes — measured 700 ms per 65k-ray cast on the
+    config-3 fluid scene vs ~3 ms for a Cornell brute-force cast.
+
     Same estimator sample-for-sample as the scan driver: each sample is an
     independent ``max_bounces``-capped RR path whose RNG is a pure function
     of (key, sample_id, bounce) — deterministic and schedule-independent.
     Returns the (H, W, 3) radiance SUM over samples (divide by spp);
     forward-only (the while_loop is not reverse-differentiable).
     """
+    if scene.accel is not None:
+        return _trace_persistent_mega(scene, camera, cfg, key, with_stats)
+    return _trace_persistent_brute(scene, camera, cfg, key, with_stats)
+
+
+def _trace_persistent_brute(
+    scene: Scene,
+    camera,
+    cfg: RenderConfig,
+    key: jnp.ndarray,
+    with_stats: bool = False,
+):
+    """Persistent driver for accel-less scenes: each iteration is one full
+    brute-force cast + bounce (the canned few-triangle scenes, where a cast
+    is a single fused op)."""
     w, h = cfg.width, cfg.height
     npix = w * h
     # wavefront width: capped independently of the image — lanes just cycle
@@ -259,6 +282,161 @@ def trace_persistent(
         st0[0], st0[1], st0[2], st0[3], st0[4], st0[5], st0[6], st0[7], st0[9]
     )
     st = (o, d, rad, tp, alive, pixel, sid, bounce, st0[8], next_s, st0[10])
+    st = jax.lax.while_loop(cond, body, st)
+    img = st[8].reshape(h, w, 3)
+    if with_stats:
+        return img, st[10]
+    return img
+
+
+def _trace_persistent_mega(
+    scene: Scene,
+    camera,
+    cfg: RenderConfig,
+    key: jnp.ndarray,
+    with_stats: bool = False,
+):
+    """Persistent MEGAKERNEL: traversal, shading and respawn share one
+    while_loop. Every iteration advances each traversing lane by ONE
+    grid-DDA step (:func:`accel.step_state`); lanes whose traversal just
+    completed are shaded, bounced (or flushed + respawned) and their next
+    ray's traversal initialized — all in the same iteration. No lane ever
+    waits for another ray's traversal, so wall-clock scales with the MEAN
+    steps-per-cast instead of bounces x the worst ray's step count.
+    Estimator, RNG and cast accounting are identical to the brute driver."""
+    from libfluid_tpu.renderer import accel as accel_mod
+
+    acc = scene.accel
+    pack = accel_mod.pack_tris(scene)
+    w, h = cfg.width, cfg.height
+    npix = w * h
+    lanes = min(npix, 1 << 16)
+    total = npix * cfg.samples_per_pixel
+    dtype = jnp.float32
+    inv = jnp.asarray([1.0 / w, 1.0 / h], dtype)
+    base_px = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(w, dtype=dtype), jnp.arange(h, dtype=dtype),
+            indexing="xy",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)  # (npix, 2) pixel corner coords, x-fastest
+
+    def lane_rng(sid, bounce, n):
+        ks = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.fold_in(key, s), b)
+        )(sid, bounce)
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype))(ks)
+
+    def respawn(o, d, rad, tp, alive, pixel, sid, bounce, next_s):
+        free = ~alive
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        s_new = next_s + rank
+        take = free & (s_new < total)
+        pix = s_new % npix
+        jit2 = lane_rng(s_new, jnp.full((lanes,), -1, jnp.int32), 2)
+        sp = (base_px[pix] + jit2) * inv
+        o_new, d_new = camera.get_rays(sp)
+        d_new = d_new / jnp.maximum(
+            jnp.linalg.norm(d_new, axis=-1, keepdims=True), 1e-30
+        )
+        t3 = take[:, None]
+        return (
+            jnp.where(t3, o_new, o),
+            jnp.where(t3, d_new, d),
+            jnp.where(t3, 0.0, rad),
+            jnp.where(t3, 1.0, tp),
+            alive | take,
+            jnp.where(take, pix, pixel),
+            jnp.where(take, s_new, sid),
+            jnp.where(take, 0, bounce),
+            next_s + jnp.sum(take.astype(jnp.int32)),
+            take,
+        )
+
+    def sel(m, a, b):
+        return jnp.where(m.reshape(m.shape + (1,) * (a.ndim - 1)), a, b)
+
+    def cond(st):
+        return jnp.any(st[4]) | (st[9] < total)
+
+    def body(st):
+        o, d, rad, tp, alive, pixel, sid, bounce, img, next_s, cast, trav = st
+
+        # --- one traversal step for lanes still walking the grid ---
+        trav = accel_mod.step_state(acc, pack, o, d, trav)
+        ready = alive & ~trav.active  # this lane's cast just completed
+        cast = cast + jnp.sum(ready.astype(jnp.int32))
+
+        # --- shade the completed casts (masked; spheres folded in here) ---
+        rec = intersect.finalize_hit(
+            scene, o, d, trav.best_t, trav.best_id, trav.best_u, trav.best_v,
+            t_max=3.0e38,
+        )
+        live_hit = ready & rec.hit
+
+        emis = materials.emission_at(scene.materials, rec.mat_id, rec.uv)
+        rad = rad + jnp.where(live_hit[:, None], tp * emis, 0.0)
+
+        frame = intersect.tangent_frame(rec.normal)
+        win = jnp.einsum("rij,rj->ri", frame, -d)
+        u4 = lane_rng(sid, bounce, 3)
+        samp = materials.sample_bsdf(
+            scene.materials, rec.mat_id, win, u4[:, :2], uv=rec.uv
+        )
+        atten = samp.reflectance * (
+            jnp.abs(samp.direction[..., 1]) / jnp.maximum(samp.pdf, 1e-12)
+        )[..., None]
+        new_d = jnp.einsum("rji,rj->ri", frame, samp.direction)
+        off = jnp.where(samp.direction[..., 1] > 0.0, 1.0, -1.0)
+        new_o = rec.position + rec.normal * (off * _RAY_OFFSET)[:, None]
+
+        tp = jnp.where(live_hit[:, None], tp * atten, tp)
+        alive_n = live_hit & (jnp.max(tp, axis=-1) > 1e-7) & (samp.pdf > 1e-12)
+
+        rr_on = bounce >= cfg.rr_start
+        p = jnp.clip(jnp.max(tp, axis=-1), cfg.rr_floor, 1.0)
+        survive = u4[:, 2] < p
+        tp = jnp.where(
+            (rr_on & alive_n & survive)[:, None], tp / p[:, None], tp
+        )
+        alive_n = alive_n & jnp.where(rr_on, survive, True)
+        alive_n = alive_n & (bounce + 1 < cfg.max_bounces)
+
+        o = jnp.where(live_hit[:, None], new_o, o)
+        d = jnp.where(live_hit[:, None], new_d, d)
+        bounce = jnp.where(ready, bounce + 1, bounce)
+
+        # --- flush finished paths, refill lanes, restart traversals ---
+        finished = ready & ~alive_n
+        img = img.at[pixel].add(jnp.where(finished[:, None], rad, 0.0))
+        alive2 = jnp.where(ready, alive_n, alive)
+        o, d, rad, tp, alive, pixel, sid, bounce, next_s, took = respawn(
+            o, d, rad, tp, alive2, pixel, sid, bounce, next_s
+        )
+        need_init = (ready & alive_n) | took
+        ti = accel_mod.init_state(acc, pack, o, d, jnp.asarray(3.0e38, dtype))
+        trav = jax.tree_util.tree_map(
+            lambda a, b: sel(need_init, a, b), ti, trav
+        )
+        return (o, d, rad, tp, alive, pixel, sid, bounce, img, next_s, cast,
+                trav)
+
+    z3 = jnp.zeros((lanes, 3), dtype)
+    ones3 = jnp.ones((lanes, 3), dtype)
+    o, d, rad, tp, alive, pixel, sid, bounce, next_s, _ = respawn(
+        z3, ones3, z3, ones3,
+        jnp.zeros((lanes,), bool),
+        jnp.zeros((lanes,), jnp.int32),
+        jnp.zeros((lanes,), jnp.int32),
+        jnp.zeros((lanes,), jnp.int32),
+        jnp.int32(0),
+    )
+    trav0 = accel_mod.init_state(acc, pack, o, d, jnp.asarray(3.0e38, dtype))
+    st = (
+        o, d, rad, tp, alive, pixel, sid, bounce,
+        jnp.zeros((npix, 3), dtype), next_s, jnp.int32(0), trav0,
+    )
     st = jax.lax.while_loop(cond, body, st)
     img = st[8].reshape(h, w, 3)
     if with_stats:

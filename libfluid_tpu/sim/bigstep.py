@@ -264,6 +264,7 @@ def substep_tiled(
     grid = pressure_mod.apply_pressure(grid, pres.pressure, cfg, dt)
 
     # --- position correction from the accumulated spring field ---
+    corr_uncorrected = jnp.int32(0)
     if cfg.enable_position_correction:
         re = cfg.cell_size / jnp.sqrt(jnp.asarray(2.0, cfg.dtype))
         m = kcor * cfg.num_cells
@@ -274,6 +275,11 @@ def substep_tiled(
         re2 = cfg.cell_size * cfg.cell_size / 2.0
         truncated = state.active & (slot_of >= m)
         trunc_start = jnp.sum(jnp.minimum(rs.counts, kcor), dtype=jnp.int32)
+        corr_uncorrected = jnp.maximum(
+            0,
+            jnp.sum(truncated.astype(jnp.int32))
+            - cfg.correction_overflow_capacity,
+        )
         oidx, ospring = _overflow_springs_lazy(
             state.position, truncated, rs, kcor, re2, cfg,
             cfg.correction_overflow_capacity, trunc_start,
@@ -324,6 +330,7 @@ def substep_tiled(
         particle_count=jnp.sum(state.active.astype(jnp.int32)),
         substeps=jnp.int32(1),
         overflow_count=rs.n_overflow,
+        correction_uncorrected=corr_uncorrected,
     )
     return state, diag
 

@@ -252,9 +252,16 @@ def p2g_lo_faces_pallas(
 # ---------------------------------------------------------------------------
 
 
+KC_LO = 8  # slot-block split for the correction kernel: the pair sweep on a
+# plane whose cells all hold <= KC_LO residents runs the (KC_LO x KC_LO)
+# block only — the KC^2 cost of correction_capacity=12 is paid solely by
+# planes that actually reach >8-per-cell compression (dam-break impact
+# fronts), not the whole grid
+
+
 def _correction_kernel(
     seed_ref,  # (2,) int32 scalar prefetch: [jitter seed, global x origin]
-    occ_ref,  # (nx,) int32 scalar prefetch
+    occ_ref,  # (nx,) int32 scalar prefetch: 0 empty, 1 lo-only, 2 has-hi
     ctr_ref,  # VMEM (4KC, 1, ny, nz): pos rows then mask rows, plane i
     right_ref,  # plane i+1 (clamped)
     springs_ref,  # VMEM out (3KC, 1, ny, nz): plane-i accumulations
@@ -274,7 +281,9 @@ def _correction_kernel(
     sums land in a second output indexed by plane i and are shifted one
     plane right outside the kernel. y/z halos are dynamic in-VMEM lane
     rolls; the compact support (re < h) self-masks roll wrap-around
-    (positions are absolute)."""
+    (positions are absolute). Slot ranks are prefix-dense per cell (the
+    slotsort build), so a plane with no rank->=KC_LO residents anywhere (occ
+    flag 1) runs the lo-block sweep only."""
     i = pl.program_id(0)
     nplanes = pl.num_programs(0)
 
@@ -283,24 +292,23 @@ def _correction_kernel(
         springs_ref[:] = jnp.zeros_like(springs_ref)
         springs2_ref[:] = jnp.zeros_like(springs2_ref)
 
-    @pl.when(occ_ref[i] > 0)
-    def _():
+    def run(kcur: int):
         ny, nz = ctr_ref.shape[-2], ctr_ref.shape[-1]
         res = ctr_ref[:, 0]  # (4KC, ny, nz)
-        res_pos = res[: 3 * kc].reshape(3, kc, ny, nz)
-        res_mask = res[3 * kc :]
+        res_pos = res[: 3 * kc].reshape(3, kc, ny, nz)[:, :kcur]
+        res_mask = res[3 * kc : 3 * kc + kcur]
 
         rvalid = (i < nplanes - 1).astype(jnp.float32)
         rwin = right_ref[:, 0]
-        r_pos = rwin[: 3 * kc].reshape(3, kc, ny, nz)
-        r_mask = rwin[3 * kc :] * rvalid
+        r_pos = rwin[: 3 * kc].reshape(3, kc, ny, nz)[:, :kcur]
+        r_mask = rwin[3 * kc : 3 * kc + kcur] * rvalid
 
-        zero = jnp.zeros((kc, ny, nz), jnp.float32)
+        zero = jnp.zeros((kcur, ny, nz), jnp.float32)
 
         # broadcasted_iota, not reshape-of-eye: Mosaic cannot shape-cast
         # across the tiled dims
-        ri = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (kc, kc, 1, 1), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (kcur, kcur, 1, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (kcur, kcur, 1, 1), 1)
         one_minus_eye = (ri != ci).astype(jnp.float32)
 
         def rollyz(a, shy, shz):
@@ -403,21 +411,38 @@ def _correction_kernel(
 
             seed = seed_ref[0]
             gx = i + seed_ref[1]
-            k_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 0)
-            y_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 1)
-            z_i = jax.lax.broadcasted_iota(jnp.int32, (kc, ny, nz), 2)
+            k_i = jax.lax.broadcasted_iota(jnp.int32, (kcur, ny, nz), 0)
+            y_i = jax.lax.broadcasted_iota(jnp.int32, (kcur, ny, nz), 1)
+            z_i = jax.lax.broadcasted_iota(jnp.int32, (kcur, ny, nz), 2)
 
             def jit_plane(gxv, c):
                 return jitterhash.jitter_value(seed, gxv, y_i, z_i, k_i, c)
 
+        pad = jnp.zeros((kc - kcur, ny, nz), jnp.float32) if kcur < kc else None
         for c in range(3):
             out = res_pos[c] * wsum - wnbr[c]
             out2 = r_pos[c] * wsum2 - wnbr2[c]
             if with_jitter:
                 out = out + coin * jit_plane(gx, c)
                 out2 = out2 + coin2 * jit_plane(gx + 1, c)
-            springs_ref[c * kc : (c + 1) * kc, 0] = out
-            springs2_ref[c * kc : (c + 1) * kc, 0] = out2
+            springs_ref[c * kc : c * kc + kcur, 0] = out
+            springs2_ref[c * kc : c * kc + kcur, 0] = out2
+            if pad is not None:
+                springs_ref[c * kc + kcur : (c + 1) * kc, 0] = pad
+                springs2_ref[c * kc + kcur : (c + 1) * kc, 0] = pad
+
+    if kc <= KC_LO:
+        @pl.when(occ_ref[i] > 0)
+        def _():
+            run(kc)
+    else:
+        @pl.when(occ_ref[i] == 1)
+        def _():
+            run(KC_LO)
+
+        @pl.when(occ_ref[i] >= 2)
+        def _():
+            run(kc)
 
 
 def correction_springs_pallas(
@@ -428,6 +453,7 @@ def correction_springs_pallas(
     cfg: SimConfig,
     with_jitter: bool = True,
     origin_x=0,  # global x coordinate of local plane 0 (tiled slabs)
+    interpret: bool = False,  # Pallas interpret mode (CPU tests)
 ) -> jnp.ndarray:
     """Per-slot correction springs incl. coincident-pair jitter; the payload
     streams from HBM 2x (center + right plane blocks; Newton's-third-law
@@ -443,6 +469,13 @@ def correction_springs_pallas(
     # symmetric-accumulation scheme (its (i-1, i) pairs are produced by the
     # i-1 pass into springs2)
     occ = plane_occupancy(res_mask, halo=0)
+    if kc > KC_LO:
+        # 0 = empty, 1 = every cell in plane i AND i+1 holds <= KC_LO
+        # residents (pass i touches both planes' slots), 2 = hi slots
+        # present: the kernel sizes its pair sweep accordingly
+        hi_plane = plane_occupancy(res_mask[KC_LO:], halo=0)
+        hi = (hi_plane + jnp.concatenate([hi_plane[1:], hi_plane[:1] * 0])) > 0
+        occ = occ * (1 + hi.astype(jnp.int32))
 
     def xblock(dx):
         return pl.BlockSpec(
@@ -477,6 +510,7 @@ def correction_springs_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(
         jnp.stack(
             [jnp.asarray(seed, jnp.int32), jnp.asarray(origin_x, jnp.int32)]

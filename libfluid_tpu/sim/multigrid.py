@@ -37,9 +37,13 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 _SMOOTH_DAMP = 0.8  # damped-Jacobi weight
+# r5 on-chip sweep at 128^3: V(2,2) + 12 coarse iters + the separable
+# trilinear transfer operators below = 32.9 ms/solve vs 94.3 ms for the old
+# V(2,2)+24 with reshape/repeat piecewise-constant transfers (whose
+# 6D-reshape reductions XLA laid out catastrophically)
 _PRE_SMOOTH = 2
 _POST_SMOOTH = 2
-_COARSE_ITERS = 24  # Jacobi iterations on the coarsest level
+_COARSE_ITERS = 12  # Jacobi iterations on the coarsest level
 _MIN_SIZE = 8  # stop coarsening at <= this many cells per axis
 
 
@@ -220,19 +224,82 @@ def _smooth(level: MGLevel, x: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.n
     return x * level.fluid
 
 
+# cell-centered trilinear transfer operators (vs the old piecewise-constant
+# repeat/sum): P interpolates, R = P^T / 8 — the V-cycle stays a symmetric
+# operator (CG's requirement) because restriction is the EXACT transpose of
+# prolongation including the edge clamp. Measured on chip at 128^3 this cut
+# pressure.solve 94.3 -> 32.9 ms (the 6D reshape/repeat PC transfers also
+# lowered terribly in XLA).
+
+
+def _interleave(lo: jnp.ndarray, hi: jnp.ndarray, axis: int) -> jnp.ndarray:
+    st = jnp.stack([lo, hi], axis=axis + 1)
+    shape = list(lo.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _prolong_axis(c: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """n -> 2n along axis: F[2j] = .75 C[j] + .25 C[j-1] (edge-clamped),
+    F[2j+1] = .75 C[j] + .25 C[j+1]."""
+    pad = [(0, 0)] * c.ndim
+    pad[axis] = (1, 1)
+    cp = jnp.pad(c, pad, mode="edge")
+
+    def sl(start, stop):
+        idx = [slice(None)] * c.ndim
+        idx[axis] = slice(start, stop)
+        return cp[tuple(idx)]
+
+    ctr = sl(1, -1)
+    lo = 0.75 * ctr + 0.25 * sl(0, -2)
+    hi = 0.75 * ctr + 0.25 * sl(2, None)
+    return _interleave(lo, hi, axis)
+
+
+def _restrict_axis(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """EXACT transpose of :func:`_prolong_axis` (2n -> n along axis),
+    including the fold of the edge-clamp contributions."""
+    def sl(arr, start, stop, step=None):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start, stop, step)
+        return arr[tuple(idx)]
+
+    a = sl(f, 0, None, 2)  # even rows: .75 -> C[j], .25 -> C[j-1]
+    b = sl(f, 1, None, 2)  # odd rows: .75 -> C[j], .25 -> C[j+1]
+    c = 0.75 * (a + b)
+    mless = 0.25 * a
+    mplus = 0.25 * b
+    # C[j-1] += mless[j] for j >= 1; the j = 0 clamp folds into C[0], and
+    # symmetrically for mplus at the high edge
+    c_shift_down = jnp.concatenate([sl(mless, 1, None), jnp.zeros_like(sl(mless, 0, 1))], axis=axis)
+    c_fold_lo = jnp.zeros_like(c).at[tuple(
+        [slice(None)] * axis + [slice(0, 1)]
+    )].set(sl(mless, 0, 1))
+    c_shift_up = jnp.concatenate([jnp.zeros_like(sl(mplus, 0, 1)), sl(mplus, 0, -1)], axis=axis)
+    c_fold_hi = jnp.zeros_like(c).at[tuple(
+        [slice(None)] * axis + [slice(-1, None)]
+    )].set(sl(mplus, -1, None))
+    return c + c_shift_down + c_fold_lo + c_shift_up + c_fold_hi
+
+
 def _restrict(level_c: MGLevel, r: jnp.ndarray) -> jnp.ndarray:
-    """Transpose of piecewise-constant prolongation, scaled by 1/8."""
+    """R = P^T / 8 (trilinear), masked to coarse fluid cells."""
     nx, ny, nz = r.shape
     px, py, pz = nx % 2, ny % 2, nz % 2
     if px or py or pz:
+        # transpose of _prolong's crop is a zero-pad
         r = jnp.pad(r, ((0, px), (0, py), (0, pz)))
-    c = r.reshape(r.shape[0] // 2, 2, r.shape[1] // 2, 2, r.shape[2] // 2, 2)
-    out = c.sum(axis=(1, 3, 5)) * 0.125
-    return out * level_c.fluid
+    out = r
+    for axis in range(3):
+        out = _restrict_axis(out, axis)
+    return out * 0.125 * level_c.fluid
 
 
 def _prolong(e_c: jnp.ndarray, fine_shape) -> jnp.ndarray:
-    e = jnp.repeat(jnp.repeat(jnp.repeat(e_c, 2, 0), 2, 1), 2, 2)
+    e = e_c
+    for axis in range(3):
+        e = _prolong_axis(e, axis)
     return e[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
 
 

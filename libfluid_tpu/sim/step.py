@@ -63,6 +63,13 @@ class Diagnostics(NamedTuple):
     # previously folded into overflow_count, so users could not tell mass
     # loss from a benign slot-capacity warning).
     particles_lost: jnp.ndarray = 0
+    # slot-overflow particles BEYOND correction_overflow_capacity this
+    # substep: they received NO correction spring (every other stage still
+    # handles them). Nonzero means the cap is undersized for the scene's
+    # compression — raise cfg.correction_overflow_capacity (ADVICE r4: the
+    # silent truncation was observable only by comparing overflow_count
+    # against the cap by hand).
+    correction_uncorrected: jnp.ndarray = 0
 
 
 def cfl_dt(state: SimState, cfg: SimConfig) -> jnp.ndarray:
@@ -151,6 +158,7 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
 
     # --- position correction + collisions ---
     key = state.key
+    corr_uncorrected = jnp.int32(0)
     if cfg.enable_position_correction:
         key, sub = jax.random.split(key)
         # rank >= correction_capacity rows start right after the kept rows of
@@ -158,6 +166,14 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         kc = min(cfg.correction_capacity, slot_grid.capacity)
         trunc_start = jnp.sum(
             jnp.minimum(bins.cell_count, kc), dtype=jnp.int32
+        )
+        n_trunc = jnp.sum(
+            (state.active & (slot_grid.slot_of >= kc * cfg.num_cells)).astype(
+                jnp.int32
+            )
+        )
+        corr_uncorrected = jnp.maximum(
+            0, n_trunc - cfg.correction_overflow_capacity
         )
         pos = correction_mod.correct_positions(
             state.position, state.active, slot_grid, cfg, dt, sub,
@@ -210,6 +226,7 @@ def substep(state: SimState, cfg: SimConfig, dt) -> Tuple[SimState, Diagnostics]
         particle_count=jnp.sum(state.active.astype(jnp.int32)),
         substeps=jnp.int32(1),
         overflow_count=jnp.sum(slot_grid.overflow.astype(jnp.int32)),
+        correction_uncorrected=corr_uncorrected,
     )
     return state, diag
 

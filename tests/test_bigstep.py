@@ -28,12 +28,24 @@ def _mk(seed=0):
     return cfg, st
 
 
-def _sorted_particles(st):
+def _sorted_particles(st, ref=None):
+    """Active particles in a canonical order. With ``ref`` (a reference
+    position set), rows are matched to their nearest reference particle
+    instead of lexsorted — a plain lexsort flips two rows whenever a sort
+    key ties to within one ulp across the two code paths being compared
+    (observed: two particles whose z differed by 5e-7 between dense and
+    tiled runs straddled the comparison)."""
     act = np.asarray(st.active)
     pos = np.asarray(st.position)[act]
     vel = np.asarray(st.velocity)[act]
-    order = np.lexsort(pos.T)
-    return pos[order], vel[order]
+    if ref is None:
+        order = np.lexsort(pos.T)
+        return pos[order], vel[order]
+    from scipy.spatial import cKDTree
+
+    dist, idx = cKDTree(pos).query(ref)
+    assert np.unique(idx).size == idx.size, "nearest-match not a bijection"
+    return pos[idx], vel[idx]
 
 
 def test_tiled_matches_dense_substep():
@@ -47,9 +59,10 @@ def test_tiled_matches_dense_substep():
     st_d, diag_d = dense(st)
     st_t, diag_t = jax.jit(lambda s: substep_tiled(s, cfg, dt, 3))(st)
 
-    # particle sets agree (order-independent compare)
+    # particle sets agree (order-independent compare; tiled rows matched to
+    # the dense set by nearest neighbor — see _sorted_particles)
     pd, vd = _sorted_particles(st_d)
-    pt, vt = _sorted_particles(st_t)
+    pt, vt = _sorted_particles(st_t, ref=pd)
     assert pd.shape == pt.shape
     np.testing.assert_allclose(pd, pt, rtol=0, atol=5e-4)
     np.testing.assert_allclose(vd, vt, rtol=5e-3, atol=5e-3)
