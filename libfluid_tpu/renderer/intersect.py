@@ -204,15 +204,103 @@ def finalize_hit(
     )
 
 
+_VIS_TRI_CHUNK = 8
+
+
+def _any_hit_tris(scene: Scene, o, d, t_max) -> jnp.ndarray:
+    """(R,) bool: does ANY triangle block the ray before t_max?
+
+    Möller–Trumbore written component-wise in (T_chunk, R) layout — rays on
+    the lane axis, a small triangle chunk on sublanes. The broadcasting
+    (R, T, 3) form materializes three cross-product temps with a minor axis
+    of 3 (lane-padded 43x) at hundreds of MB per cast; this form's largest
+    temp is T_chunk * R floats and the whole scan fuses elementwise.
+    """
+    r = o.shape[0]
+    t_cap = scene.tri_p0.shape[0]
+    tc = _VIS_TRI_CHUNK
+    pad = (-t_cap) % tc
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+        return x.reshape(-1, tc, 3).transpose(0, 2, 1)  # (n, 3, tc)
+
+    p0c, e1c, e2c = prep(scene.tri_p0), prep(scene.tri_e1), prep(scene.tri_e2)
+    ox, oy, oz = (o[:, i][None, :] for i in range(3))  # (1, R)
+    dx, dy, dz = (d[:, i][None, :] for i in range(3))
+    eps_det = 1e-9
+
+    def chunk_body(blocked, chunk):
+        p0, e1, e2 = chunk  # (3, tc) each
+        col = lambda m, i: m[i][:, None]  # (tc, 1)
+        e1x, e1y, e1z = col(e1, 0), col(e1, 1), col(e1, 2)
+        e2x, e2y, e2z = col(e2, 0), col(e2, 1), col(e2, 2)
+        p0x, p0y, p0z = col(p0, 0), col(p0, 1), col(p0, 2)
+        # pvec = d x e2  (tc, R)
+        pv0 = dy * e2z - dz * e2y
+        pv1 = dz * e2x - dx * e2z
+        pv2 = dx * e2y - dy * e2x
+        det = e1x * pv0 + e1y * pv1 + e1z * pv2
+        inv = jnp.where(jnp.abs(det) > eps_det, 1.0 / det, 0.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pv0 + tvy * pv1 + tvz * pv2) * inv
+        # qvec = tvec x e1
+        qv0 = tvy * e1z - tvz * e1y
+        qv1 = tvz * e1x - tvx * e1z
+        qv2 = tvx * e1y - tvy * e1x
+        v = (dx * qv0 + dy * qv1 + dz * qv2) * inv
+        t = (e2x * qv0 + e2y * qv1 + e2z * qv2) * inv
+        hit = (
+            (jnp.abs(det) > eps_det)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < t_max)
+        )
+        return blocked | jnp.any(hit, axis=0), None
+
+    blocked0 = jnp.zeros((r,), bool)
+    blocked, _ = jax.lax.scan(chunk_body, blocked0, (p0c, e1c, e2c))
+    return blocked
+
+
 def test_visibility(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray, eps=1e-4) -> jnp.ndarray:
     """True where the segment p1->p2 is unobstructed (``scene.cpp:77-85``):
-    the ray is shrunk by eps at both ends and any hit with t in (0, 1) blocks."""
+    the ray is shrunk by eps at both ends and any hit with t in (0, 1) blocks.
+
+    Shadow rays only need a BOOLEAN, so this skips the shading payload of
+    :func:`ray_cast` entirely (normals/uv/material derivation cost ~as much
+    as the intersection itself on small scenes — BDPT's 36 visibility casts
+    per sample were ~80%% of its wall-clock through the full pipeline)."""
     diff = p2 - p1
     n = diff / jnp.maximum(jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-30)
     o = p1 + n * eps
     d = diff - 2.0 * eps * n
-    rec = ray_cast(scene, o, d, t_max=1.0)
-    return ~rec.hit
+    t_max = 1.0
+
+    if scene.accel is not None:
+        from libfluid_tpu.renderer import accel as accel_mod
+
+        _, tri_id, _, _ = accel_mod.traverse(
+            scene.accel, accel_mod.pack_tris(scene), o, d,
+            jnp.asarray(t_max, o.dtype),
+        )
+        tri_blocked = tri_id >= 0
+    else:
+        tri_blocked = _any_hit_tris(scene, o, d, t_max)
+
+    # spheres: boolean-only local-space test
+    stl = scene.sph_to_local  # (S, 3, 4)
+    o_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], o) + stl[None, :, :, 3]
+    o_loc = jnp.clip(o_loc, -1e15, 1e15)
+    d_loc = jnp.einsum("sij,rj->rsi", stl[:, :, :3], d)
+    sh, st = isect.ray_unit_sphere(o_loc, d_loc)
+    sph_blocked = jnp.any(
+        sh & (st < t_max) & (scene.sph_mat > 0)[None, :], axis=1
+    )
+    return ~(tri_blocked | sph_blocked)
 
 
 def tangent_frame(normal: jnp.ndarray) -> jnp.ndarray:

@@ -63,14 +63,13 @@ def substep_tiled(
 ) -> Tuple[SimState, Diagnostics]:
     """One time step of size dt, neighborhood passes tiled over x-slabs.
 
-    Stage semantics match :func:`libfluid_tpu.sim.step.substep` for PIC and
-    APIC; FLIP is rejected (the tiled G2P has no old-grid blend — it would
-    silently degrade to PIC physics otherwise).
+    Stage semantics match :func:`libfluid_tpu.sim.step.substep` for ALL
+    three transfer schemes. FLIP (``simulation.cpp:340-344,464-506``) keeps
+    a dense copy of the post-P2G grid and exploits the linearity of
+    interpolation: v = blend*v_p + interp(new - blend*old), so ONE combined
+    sample table serves the blend (a second 4.3 GB table at 256^3 would
+    not fit next to the first).
     """
-    assert cfg.scheme != TransferScheme.FLIP, (
-        "FLIP unsupported in tiled path (no old-grid blend in _g2p_tiled); "
-        "use PIC or APIC"
-    )
     nx, ny, nz = cfg.grid_size
     assert nx % slabs == 0, "slabs must divide nx"
     sx = nx // slabs
@@ -255,8 +254,11 @@ def substep_tiled(
     )
     grid = state.grid._replace(u=u, v=v, w=w)
     grid = grids.mark_cells(grid, rs.counts.reshape(cfg.grid_size))
+    old_grid = None
     if use_affine:
         grid = grids.remove_boundary_normal_velocities(grid)
+    elif cfg.scheme == TransferScheme.FLIP:
+        old_grid = grids.remove_boundary_normal_velocities(grid)
 
     # --- gravity + pressure (dense; the grid fits at any scale) ---
     grid = _add_gravity(grid, cfg, dt)
@@ -305,7 +307,25 @@ def substep_tiled(
     grid = extrapolation_mod.extrapolate(grid, cfg)
 
     # --- G2P, slab-tiled over faces with per-rank contiguous particle runs ---
-    vel, affine = _g2p_tiled(grid, state, rs, cfg, slabs)
+    if cfg.scheme == TransferScheme.FLIP:
+        blend = cfg.blending_factor
+        if cfg.num_cells <= _G2P_TILED_THRESHOLD:
+            vel = transfers.g2p_flip(
+                grid, old_grid, state.position, state.velocity, cfg
+            )
+        else:
+            # interp is linear in face values: interp(new) + blend *
+            # (v_p - interp(old)) == blend*v_p + interp(new - blend*old)
+            comb = grid._replace(
+                u=grid.u - blend * old_grid.u,
+                v=grid.v - blend * old_grid.v,
+                w=grid.w - blend * old_grid.w,
+            )
+            vi, _ = _g2p_tiled(comb, state, rs, cfg, slabs)
+            vel = blend * state.velocity + vi
+        affine = state.affine
+    else:
+        vel, affine = _g2p_tiled(grid, state, rs, cfg, slabs)
     vel = jnp.where(state.active[:, None], vel, state.velocity)
     affine = jnp.where(state.active[:, None, None], affine, state.affine)
 
