@@ -45,76 +45,106 @@ class MeshBuffers(NamedTuple):
         return jnp.arange(self.vertices.shape[0]) < self.count
 
 
+# cells per z-block: bounds the block temporaries (~a dozen (12, Cb) f32
+# arrays) while keeping the scan short — the old one-z-slab scan ran 8
+# scalar-index GATHERS per corner per slab (the dominant cost: 310 of the
+# 341 ms mesher stage at 64^3) where a block uses pure slices
+_BLOCK_CELLS = 1 << 20
+
+
 def marching_cubes(sdf: jnp.ndarray, cfg: MesherConfig) -> MeshBuffers:
     """Extract the zero level set of `sdf` sampled on (nx+1, ny+1, nz+1) nodes."""
     nx, ny, nz = cfg.grid_size
     h = cfg.cell_size
     off = jnp.asarray(cfg.grid_offset, sdf.dtype)
     tri_table = jnp.asarray(tables.TRI_TABLE)  # (256, 16)
-    edge_corners = jnp.asarray(tables.EDGE_CORNERS)  # (12, 2)
-    corner_off = jnp.asarray(tables.CORNER_OFFSETS)  # (8, 3)
+    ntri_table = jnp.asarray(tables.NTRI_TABLE)  # (256,) tris per case
+    ec_a = tables.EDGE_CORNERS[:, 0]  # host-side (12,)
+    ec_b = tables.EDGE_CORNERS[:, 1]
 
-    cell_x, cell_y = jnp.meshgrid(
-        jnp.arange(nx, dtype=jnp.int32), jnp.arange(ny, dtype=jnp.int32), indexing="ij"
-    )
-    cell_x = cell_x.reshape(-1)
-    cell_y = cell_y.reshape(-1)
-    ncell_slab = nx * ny
+    zb = max(1, min(nz, _BLOCK_CELLS // (nx * ny)))
+    while nz % zb:
+        zb -= 1
+    cb = nx * ny * zb
 
-    def slab(carry, z):
+    # per-edge endpoint cell-relative offsets (host constants)
+    co = tables.CORNER_OFFSETS  # (8, 3) ints
+    ax = jnp.asarray([co[c][0] for c in ec_a], sdf.dtype).reshape(12, 1)
+    ay = jnp.asarray([co[c][1] for c in ec_a], sdf.dtype).reshape(12, 1)
+    az = jnp.asarray([co[c][2] for c in ec_a], sdf.dtype).reshape(12, 1)
+    dx = jnp.asarray([co[c][0] for c in ec_b], sdf.dtype).reshape(12, 1) - ax
+    dy = jnp.asarray([co[c][1] for c in ec_b], sdf.dtype).reshape(12, 1) - ay
+    dz = jnp.asarray([co[c][2] for c in ec_b], sdf.dtype).reshape(12, 1) - az
+
+    # block-local cell coordinates, (cb,) each, order (x, y, dz) row-major
+    gx = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, zb), 0).reshape(-1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, zb), 1).reshape(-1)
+    gz = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, zb), 2).reshape(-1)
+
+    def block(carry, z0):
         buf, count = carry
-        # corner values for every cell in this slab: (C, 8)
+        # corner values via pure SLICES: (8, cb), corners x-fastest bit order
         corners = []
         for ci in range(8):
-            o = tables.CORNER_OFFSETS[ci]
-            corners.append(sdf[cell_x + int(o[0]), cell_y + int(o[1]), z + int(o[2])])
-        v = jnp.stack(corners, axis=-1)
+            ox, oy, oz = (int(v) for v in tables.CORNER_OFFSETS[ci])
+            sl = jax.lax.dynamic_slice(
+                sdf, (ox, oy, z0 + oz), (nx, ny, zb)
+            )
+            corners.append(sl.reshape(-1))
+        v = jnp.stack(corners, axis=0)  # (8, cb)
 
         case = jnp.sum(
-            (v < 0.0).astype(jnp.int32) * (1 << jnp.arange(8, dtype=jnp.int32)), axis=-1
-        )
+            (v < 0.0).astype(jnp.int32)
+            * (1 << jnp.arange(8, dtype=jnp.int32))[:, None],
+            axis=0,
+        )  # (cb,)
 
-        # interpolated point on each of the 12 edges: (C, 12, 3)
-        va = v[:, edge_corners[:, 0]]
-        vb = v[:, edge_corners[:, 1]]
+        # interpolated point on each of the 12 edges, component-major (12, cb)
+        va = v[jnp.asarray(ec_a)]
+        vb = v[jnp.asarray(ec_b)]
         denom = va - vb
         t = va / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
-        cell_base = jnp.stack(
-            [cell_x, cell_y, jnp.full_like(cell_x, z)], axis=-1
-        ).astype(sdf.dtype)
-        pa = cell_base[:, None, :] + corner_off[edge_corners[:, 0]].astype(sdf.dtype)
-        pb = cell_base[:, None, :] + corner_off[edge_corners[:, 1]].astype(sdf.dtype)
-        epos = off + h * (pa + (pb - pa) * t[..., None])
+        cx = gx.astype(sdf.dtype)[None]
+        cy = gy.astype(sdf.dtype)[None]
+        cz = (gz + z0).astype(sdf.dtype)[None]
+        ex = off[0] + h * (cx + ax + dx * t)
+        ey = off[1] + h * (cy + ay + dy * t)
+        ez = off[2] + h * (cz + az + dz * t)
 
-        # triangles: (C, 5, 3) edge ids
-        tri_edges = tri_table[case][:, : 3 * MAX_TRIS_PER_CELL].reshape(
-            -1, MAX_TRIS_PER_CELL, 3
-        )
-        tvalid = tri_edges[..., 0] >= 0
-        # swap the last two edge ids: with this module's x-fastest corner
-        # layout the raw table winds inward; the swap makes normals point
-        # outward (along +grad(sdf)), which the renderer and OBJ export assume
-        tri_edges = tri_edges[..., jnp.asarray([0, 2, 1])]
-        safe_edges = jnp.maximum(tri_edges, 0)
-        tverts = jnp.take_along_axis(
-            epos[:, None, :, :].repeat(MAX_TRIS_PER_CELL, axis=1).reshape(
-                ncell_slab * MAX_TRIS_PER_CELL, 12, 3
-            ),
-            safe_edges.reshape(-1, 3)[..., None].repeat(3, axis=-1),
-            axis=1,
-        )  # (C*5, 3, 3)
-        tvalid = tvalid.reshape(-1)
+        # validity from the per-case triangle COUNT (tiny 256-table): the
+        # full (cb, 5, 3) edge-id expansion is only ever needed for the ~1%
+        # of rows that survive, so edge ids and vertex values are gathered
+        # AFTER compaction at cap size, not before at cb*5 size
+        ntris = ntri_table[case]  # (cb,)
+        k5 = jnp.arange(MAX_TRIS_PER_CELL, dtype=jnp.int32)
+        tvalid = (k5[None, :] < ntris[:, None]).reshape(-1)
 
-        # compact into the global buffer at rank offsets
-        rank = jnp.cumsum(tvalid.astype(jnp.int32)) - 1
-        dest = jnp.where(tvalid, count + rank, buf.shape[0])  # drop invalid
-        buf = buf.at[dest].set(tverts, mode="drop")
+        cap = buf.shape[0]
+        nrows = tvalid.shape[0]
+        idx = jnp.nonzero(tvalid, size=cap, fill_value=nrows)[0]
+        ok = idx < nrows
+        safe_i = jnp.minimum(idx, nrows - 1)
+        c_i = safe_i // MAX_TRIS_PER_CELL  # (cap,) source cell
+        k_i = safe_i % MAX_TRIS_PER_CELL  # tri slot within the cell
+        # edge ids, with the last two swapped — with this module's x-fastest
+        # corner layout the raw table winds inward; the swap makes normals
+        # point outward (along +grad(sdf)), which the renderer and OBJ
+        # export assume
+        cols = 3 * k_i[:, None] + jnp.asarray([0, 2, 1], jnp.int32)[None]
+        edges = jnp.maximum(tri_table[case[c_i][:, None], cols], 0)  # (cap, 3)
+        vx = ex[edges, c_i[:, None]]  # (cap, 3)
+        vy = ey[edges, c_i[:, None]]
+        vz = ez[edges, c_i[:, None]]
+        rows = jnp.stack([vx, vy, vz], axis=-1)  # (cap, 3, 3)
+
+        dest = jnp.where(ok, count + jnp.arange(cap, dtype=jnp.int32), cap)
+        buf = buf.at[dest].set(rows, mode="drop")
         count = count + jnp.sum(tvalid.astype(jnp.int32))
         return (buf, count), None
 
     buf0 = jnp.zeros((cfg.max_triangles, 3, 3), sdf.dtype)
     (buf, count), _ = jax.lax.scan(
-        slab, (buf0, jnp.int32(0)), jnp.arange(nz, dtype=jnp.int32)
+        block, (buf0, jnp.int32(0)), jnp.arange(0, nz, zb, dtype=jnp.int32)
     )
     return MeshBuffers(vertices=buf, count=jnp.minimum(count, cfg.max_triangles))
 

@@ -120,3 +120,9 @@ for _case in range(256):
     for _e in TRI_TABLE[_case]:
         if _e >= 0:
             EDGE_TABLE[_case] |= 1 << int(_e)
+
+# triangle count per case, derived from TRI_TABLE (first -1 in the edge list
+# terminates; always a multiple of 3 entries)
+NTRI_TABLE = np.array(
+    [int((TRI_TABLE[_c] >= 0).sum()) // 3 for _c in range(256)], np.int32
+)
