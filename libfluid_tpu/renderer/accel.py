@@ -50,7 +50,10 @@ class Accel(NamedTuple):
         return rx * ry * rz
 
 
-DIST_CAP = 8  # max empty-skip radius stored in Accel.dist (cells)
+DIST_CAP = 16  # max empty-skip radius stored in Accel.dist (cells); the r5
+# config-3 sweep measured 16 over 8 worth ~12% frame time (longer hops
+# through the open region above the fluid), with the extra erosion passes
+# amortized by the per-frame build
 
 
 def _valid_tris(scene) -> jnp.ndarray:
@@ -58,11 +61,23 @@ def _valid_tris(scene) -> jnp.ndarray:
     return scene.tri_mat > 0
 
 
-def build(scene, res: Tuple[int, int, int] = (64, 64, 64), big_capacity: int = 128) -> Accel:
+def build(
+    scene,
+    res: Tuple[int, int, int] = (64, 64, 64),
+    big_capacity: int = 128,
+    max_span: int = 2,
+) -> Accel:
     """Build the uniform grid for `scene`'s triangles (jittable).
 
-    Entry capacity is exact: every small triangle occupies at most 2x2x2
-    cells, so the sorted entry array has static size 8*T and never truncates.
+    Entry capacity is exact: every "small" triangle occupies at most
+    (max_span+1)^3 cells, so the sorted entry array has static size and
+    never truncates. Triangles spanning more go to the brute-forced big
+    list, whose `big_overflow` counter is the ONLY signal of truncation —
+    pick `res` so grid cells are no smaller than ~1/max_span of the bulk
+    triangle size (e.g. accel res == marching-cubes res for fluid meshes);
+    a too-fine grid pushes thousands of ordinary triangles into the big
+    list and SILENTLY DROPS those past capacity (found as an ~12% nearest-
+    hit mismatch at 2-3x over-resolution in r5).
     """
     rx, ry, rz = res
     t_cap = scene.tri_p0.shape[0]
@@ -87,23 +102,28 @@ def build(scene, res: Tuple[int, int, int] = (64, 64, 64), big_capacity: int = 1
     clo = jnp.clip(jnp.floor((tlo - lo) / cell).astype(jnp.int32), 0, resv - 1)
     chi = jnp.clip(jnp.floor((thi - lo) / cell).astype(jnp.int32), 0, resv - 1)
     span_cells = chi - clo  # >= 0
-    small = valid & jnp.all(span_cells <= 1, axis=-1)
+    small = valid & jnp.all(span_cells <= max_span, axis=-1)
     big = valid & ~small
 
     num_cells = rx * ry * rz
     sentinel = num_cells  # entries sorted past all real cells
 
-    # 8 candidate cells per small triangle
+    # (max_span+1)^3 candidate cells per small triangle
+    offsets = [
+        (ox, oy, oz)
+        for ox in range(max_span + 1)
+        for oy in range(max_span + 1)
+        for oz in range(max_span + 1)
+    ]
     keys = []
-    for off in ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
-                (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)):
+    for off in offsets:
         offv = jnp.asarray(off, jnp.int32)
-        c = clo + offv
+        c = jnp.minimum(clo + offv, resv - 1)
         ok = small & jnp.all(offv <= span_cells, axis=-1)
         flat = (c[:, 0] * ry + c[:, 1]) * rz + c[:, 2]
         keys.append(jnp.where(ok, flat, sentinel))
-    key_arr = jnp.concatenate(keys)  # (8T,)
-    tid_arr = jnp.tile(jnp.arange(t_cap, dtype=jnp.int32), 8)
+    key_arr = jnp.concatenate(keys)  # (len(offsets)*T,)
+    tid_arr = jnp.tile(jnp.arange(t_cap, dtype=jnp.int32), len(offsets))
 
     order = jnp.argsort(key_arr)
     tri_ids = tid_arr[order]

@@ -27,6 +27,14 @@ from libfluid_tpu.renderer.scene import Scene
 _RAY_OFFSET = 1e-3  # spawned-ray normal offset (ref scene.h:31 default 1e-6;
 # float32 needs a larger skin than the reference's double)
 
+# megakernel tuning: grid-DDA traversal sub-steps per shading/respawn pass.
+# >1 trades a little lane idling (a finished cast waits for the pass) for
+# fewer executions of the full-width shading+respawn+init block. The r5
+# config-3 sweep: 1 -> 2876 ms, 2 -> 2303, 3 -> 2191 (with DIST_CAP 8);
+# 2 composes best with DIST_CAP 16 (2034 ms) and idles less than 3 on
+# short-walk scenes.
+_TRAV_STEPS_PER_SHADE = 2
+
 
 def _bounce(scene: Scene, cfg: RenderConfig, carry, k, bounce_idx):
     o, d, radiance, throughput, alive, rays_cast = carry
@@ -308,6 +316,7 @@ def _trace_persistent_mega(
 
     acc = scene.accel
     pack = accel_mod.pack_tris(scene)
+    steps_per_shade = _TRAV_STEPS_PER_SHADE
     w, h = cfg.width, cfg.height
     npix = w * h
     lanes = min(npix, 1 << 16)
@@ -363,8 +372,11 @@ def _trace_persistent_mega(
     def body(st):
         o, d, rad, tp, alive, pixel, sid, bounce, img, next_s, cast, trav = st
 
-        # --- one traversal step for lanes still walking the grid ---
-        trav = accel_mod.step_state(acc, pack, o, d, trav)
+        # --- traversal steps for lanes still walking the grid (a lane that
+        # finishes early idles at most steps_per_shade-1 sub-steps; the
+        # shading/respawn block below amortizes over all of them) ---
+        for _ in range(steps_per_shade):
+            trav = accel_mod.step_state(acc, pack, o, d, trav)
         ready = alive & ~trav.active  # this lane's cast just completed
         cast = cast + jnp.sum(ready.astype(jnp.int32))
 

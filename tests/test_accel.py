@@ -104,3 +104,33 @@ def test_jit_build_and_traverse():
     rec = cast(scene, o, d)
     brute = intersect.ray_cast(scene, o, d)
     np.testing.assert_array_equal(np.asarray(brute.hit), np.asarray(rec.hit))
+
+
+def test_fine_grid_still_exact():
+    """Accel cells up to max_span (=2x) FINER than the triangles must stay
+    exact: r5 found triangles spanning 2 cells/axis being silently dropped
+    past the big-list capacity at over-resolution (12% nearest-hit mismatch
+    at res 2-3x the geometry scale)."""
+    rng = np.random.default_rng(4)
+    b = SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    # triangle soup with extents ~1 unit in an 8-unit box
+    ctr = rng.uniform(1.5, 6.5, (80, 3))
+    verts = np.concatenate(
+        [c + rng.normal(0, 0.4, (3, 3)) for c in ctr], axis=0
+    )
+    tris = np.arange(240).reshape(80, 3)
+    b.add_mesh(verts, tris, m)
+    scene = b.finish()
+
+    o = jnp.asarray(rng.uniform(0, 8, (512, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ref = intersect.ray_cast(scene._replace(accel=None), o, d)
+    # 16 cells over 8 units = 0.5-unit cells, ~2x finer than the triangles
+    acc = scene._replace(accel=accel_mod.build(scene, res=(16, 16, 16)))
+    got = intersect.ray_cast(acc, o, d)
+    assert int(acc.accel.big_overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(got.prim_id), np.asarray(ref.prim_id)
+    )
