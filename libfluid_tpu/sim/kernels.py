@@ -93,8 +93,7 @@ def _p2g_kernel(
         for ref in (un_ref, vn_ref, wn_ref, ud_ref, vd_ref, wd_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    @pl.when(occ_ref[i] > 0)
-    def _():
+    def run(kcur: int):
         ny, nz = ctr_ref.shape[-2], ctr_ref.shape[-1]
         # x-block validity: at the domain edge the clamped neighbor block is
         # a duplicate and must contribute nothing (no cells beyond the wall)
@@ -120,14 +119,14 @@ def _p2g_kernel(
             # arrays live spills VMEM registers (~84 MB at K=16/128^3)
             ref, xvalid = blocks[dx]
             win = ref[:, 0]  # (16K, ny, nz)
-            pos = win[: 3 * k].reshape(3, k, ny, nz)
+            pos = win[: 3 * k].reshape(3, k, ny, nz)[:, :kcur]
             gpos0 = jnp.stack(
                 [(pos[d] - offset[d]) * inv_h for d in range(3)]
-            )  # (3, K, ny, nz)
-            mask0 = win[3 * k : 4 * k] * xvalid
-            vel0 = win[4 * k : 7 * k].reshape(3, k, ny, nz)
+            )  # (3, kcur, ny, nz)
+            mask0 = win[3 * k : 3 * k + kcur] * xvalid
+            vel0 = win[4 * k : 7 * k].reshape(3, k, ny, nz)[:, :kcur]
             aff0 = (
-                win[7 * k : 16 * k].reshape(3, 3, k, ny, nz)
+                win[7 * k : 16 * k].reshape(3, 3, k, ny, nz)[:, :, :kcur]
                 if use_affine
                 else jnp.zeros((3, 3, 1, ny, nz), jnp.float32)
             )
@@ -180,6 +179,23 @@ def _p2g_kernel(
             nref[0] = num[a]
             dref[0] = den[a]
 
+    # lo/hi slot-block gating (same scheme as the correction kernel): slot
+    # ranks are prefix-dense, so a plane neighborhood holding no rank>=KC_LO
+    # particle anywhere runs the 8-slot sweep — K=12's extra third is paid
+    # only where the fluid is actually compressed
+    if k <= KC_LO:
+        @pl.when(occ_ref[i] > 0)
+        def _():
+            run(k)
+    else:
+        @pl.when(occ_ref[i] == 1)
+        def _():
+            run(KC_LO)
+
+        @pl.when(occ_ref[i] >= 2)
+        def _():
+            run(k)
+
 
 def plane_occupancy(mask: jnp.ndarray, halo: int = 1) -> jnp.ndarray:
     """(K, nx, ny, nz) slot mask -> (nx,) int32: does x-plane i (or its halo
@@ -208,7 +224,13 @@ def p2g_lo_faces_pallas(
     width, k, nx, ny, nz = data.shape
 
     payload = data.reshape(width * k, nx, ny, nz)
-    occ = plane_occupancy(data[slots_mod.COL_MASK])
+    mask = data[slots_mod.COL_MASK]
+    occ = plane_occupancy(mask)
+    if k > KC_LO:
+        # 0 empty, 1 = planes i-1..i+1 all prefix-fit in KC_LO slots (the
+        # kernel reads the full x halo), 2 = hi slots present near plane i
+        hi = plane_occupancy(mask[KC_LO:], halo=1)
+        occ = occ * (1 + hi)
 
     def xblock(dx):
         return pl.BlockSpec(
