@@ -660,14 +660,7 @@ def _local_substep(state: SimState, w_top, cfg: SimConfig, dt, ndev: int):
     # past-capacity case — Diagnostics.overflow_count reports it) ---
     pos_e = pos_l + jnp.asarray([0.0, 0.0, 1.0], cfg.dtype) * h  # ext frame
     num, den = transfers._p2g_slots_jnp(data_ext, cfg_e)
-    n_o, d_o = lax.cond(
-        jnp.any(slot_grid.overflow),
-        lambda: _p2g_overflow(slot_grid, pos_e, vel, aff, act, cfg_e),
-        lambda: (
-            [jnp.zeros_like(a) for a in num],
-            [jnp.zeros_like(a) for a in den],
-        ),
-    )
+    n_o, d_o = _p2g_overflow(slot_grid, pos_e, vel, aff, act, cfg_e)
     u = transfers._normalize(num[0][:, :, 1:-1] + n_o[0][:, :, 1:-1],
                              den[0][:, :, 1:-1] + d_o[0][:, :, 1:-1])
     v = transfers._normalize(num[1][:, :, 1:-1] + n_o[1][:, :, 1:-1],
@@ -879,18 +872,14 @@ def _correct_positions_local(
     h = cfg.cell_size
     pos_e = pos_l + jnp.asarray([0.0, 0.0, 1.0], cfg.dtype) * h
     truncated = act & (slot_grid.slot_of >= kc * num_cells)
+    oidx, ospring = correction_mod.overflow_springs(
+        pos_e, truncated, res_pos, res_mask, re2, cfg_e,
+        cfg.correction_overflow_capacity,
+    )
     n = pos_l.shape[0]
-
-    def add_overflow(spring):
-        oidx, ospring = correction_mod.overflow_springs(
-            pos_e, truncated, res_pos, res_mask, re2, cfg_e,
-            cfg.correction_overflow_capacity,
-        )
-        return spring.at[jnp.minimum(oidx, n - 1)].add(
-            jnp.where((oidx < n)[:, None], ospring, 0.0)
-        )
-
-    spring = lax.cond(jnp.any(truncated), add_overflow, lambda s: s, spring)
+    spring = spring.at[jnp.minimum(oidx, n - 1)].add(
+        jnp.where((oidx < n)[:, None], ospring, 0.0)
+    )
     re = cfg.cell_size / jnp.sqrt(jnp.asarray(2.0, cfg.dtype))
     new_pos = pos_l + spring * (dt * cfg.correction_stiffness * re)
     zoff = jnp.asarray([0.0, 0.0, 1.0], cfg.dtype) * zshift

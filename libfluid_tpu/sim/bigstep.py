@@ -282,18 +282,12 @@ def substep_tiled(
             jnp.sum(truncated.astype(jnp.int32))
             - cfg.correction_overflow_capacity,
         )
-
-        def add_overflow(spring):
-            oidx, ospring = _overflow_springs_lazy(
-                state.position, truncated, rs, kcor, re2, cfg,
-                cfg.correction_overflow_capacity, trunc_start,
-            )
-            return spring.at[jnp.minimum(oidx, n - 1)].add(
-                jnp.where((oidx < n)[:, None], ospring, 0.0)
-            )
-
-        spring = jax.lax.cond(
-            jnp.any(truncated), add_overflow, lambda s: s, spring
+        oidx, ospring = _overflow_springs_lazy(
+            state.position, truncated, rs, kcor, re2, cfg,
+            cfg.correction_overflow_capacity, trunc_start,
+        )
+        spring = spring.at[jnp.minimum(oidx, n - 1)].add(
+            jnp.where((oidx < n)[:, None], ospring, 0.0)
         )
         new_pos = state.position + spring * (dt * cfg.correction_stiffness * re)
         lo = jnp.asarray(cfg.domain_min, cfg.dtype)

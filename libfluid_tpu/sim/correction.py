@@ -233,21 +233,13 @@ def correct_positions(
     )
 
     truncated = active & (slot_grid.slot_of >= kc * cfg.num_cells)
+    oidx, ospring = overflow_springs(
+        position, truncated, res_pos, res_mask, re2, cfg,
+        cfg.correction_overflow_capacity, trunc_start=trunc_start,
+    )
     n = position.shape[0]
-
-    def add_overflow(spring):
-        oidx, ospring = overflow_springs(
-            position, truncated, res_pos, res_mask, re2, cfg,
-            cfg.correction_overflow_capacity, trunc_start=trunc_start,
-        )
-        return spring.at[jnp.minimum(oidx, n - 1)].add(
-            jnp.where((oidx < n)[:, None], ospring, 0.0)
-        )
-
-    # gated like p2g_slots' completion: the capacity-shaped gather pass only
-    # runs on substeps that actually have truncated particles
-    spring = jax.lax.cond(
-        jnp.any(truncated), add_overflow, lambda s: s, spring
+    spring = spring.at[jnp.minimum(oidx, n - 1)].add(
+        jnp.where((oidx < n)[:, None], ospring, 0.0)
     )
 
     new_pos = position + spring * (dt * cfg.correction_stiffness * re)

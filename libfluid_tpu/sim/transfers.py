@@ -253,48 +253,38 @@ def p2g_slots(
     slot grid was built from.
     """
     num, den = _p2g_data(slot_grid.data, cfg)
+    num, den = list(num), list(den)
 
     n = position.shape[0]
     cap = min(max(256, cfg.p2g_overflow_capacity), n)
     use_affine = cfg.scheme == TransferScheme.APIC
+    if overflow_start is not None:
+        # slotsort parks overflow rows contiguously at [n_kept, n_kept+n_ov):
+        # the compaction is a static window, no nonzero scan needed
+        idx = overflow_start + jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.where(
+            slot_grid.overflow[jnp.minimum(idx, n - 1)] & (idx < n), idx, n
+        )
+    else:
+        idx = jnp.nonzero(slot_grid.overflow, size=cap, fill_value=n)[0]
+    ok = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    pos_o = position[safe]
+    vel_o = velocity[safe]
+    aff_o = affine[safe] if use_affine else None
+    act_o = ok & active[safe]
+    for axis in range(3):
+        n_o, d_o = _p2g_axis(
+            pos_o,
+            vel_o[:, axis],
+            aff_o[:, axis, :] if use_affine else None,
+            act_o,
+            cfg,
+            axis,
+        )
+        num[axis] = num[axis] + n_o
+        den[axis] = den[axis] + d_o
 
-    def add_overflow(acc):
-        num, den = list(acc[0]), list(acc[1])
-        if overflow_start is not None:
-            # slotsort parks overflow rows contiguously at [n_kept,
-            # n_kept+n_ov): the compaction is a static window, no nonzero
-            # scan needed
-            idx = overflow_start + jnp.arange(cap, dtype=jnp.int32)
-            idx = jnp.where(
-                slot_grid.overflow[jnp.minimum(idx, n - 1)] & (idx < n), idx, n
-            )
-        else:
-            idx = jnp.nonzero(slot_grid.overflow, size=cap, fill_value=n)[0]
-        ok = idx < n
-        safe = jnp.minimum(idx, n - 1)
-        pos_o = position[safe]
-        vel_o = velocity[safe]
-        aff_o = affine[safe] if use_affine else None
-        act_o = ok & active[safe]
-        for axis in range(3):
-            n_o, d_o = _p2g_axis(
-                pos_o,
-                vel_o[:, axis],
-                aff_o[:, axis, :] if use_affine else None,
-                act_o,
-                cfg,
-                axis,
-            )
-            num[axis] = num[axis] + n_o
-            den[axis] = den[axis] + d_o
-        return tuple(num), tuple(den)
-
-    # the completion pass costs its full static shape every substep, but
-    # most substeps have ZERO overflow (compression is transient — impacts,
-    # jets); gate the whole pass on the flag so calm steps skip the ~10 ms
-    num, den = jax.lax.cond(
-        jnp.any(slot_grid.overflow), add_overflow, lambda acc: acc, (num, den)
-    )
     return tuple(_normalize(num[a], den[a]) for a in range(3))
 
 
