@@ -195,24 +195,38 @@ def bench_e2e_64():
 
     from libfluid_tpu.renderer import accel as accel_mod
 
-    def frame(state, key):
+    # two jits per frame: sim -> mesh -> in-jit accel rebuild, then the
+    # render megakernel. Fusing everything into ONE program measured ~1 s
+    # SLOWER than the split (the render while-loop's buffer plan degrades
+    # next to the 2^17-cap mesher buffers); the split also mirrors how an
+    # interactive app pipelines sim and render (testbed/main.cpp threads).
+    # In-jit accel rebuild: without it every ray brute-forces the full
+    # triangle capacity (26.6 s/frame in the r4 dry run). 64^3 = the MC
+    # grid resolution; the build stays exact up to 2x over-resolution
+    # (accel.build max_span).
+    def sim_mesh(state, key):
         state, diag = substep(state, cfg, 0.02)
         mesh = generate_mesh(state.position, state.active, mcfg)
         s = inject_mesh(scene0, mesh.vertices, mesh.valid, water)
-        # in-jit accelerator rebuild: without it every ray brute-forces the
-        # full 2^17-triangle capacity (26.6 s/frame measured in the r4 dry
-        # run; the uniform-grid build is jittable by design). 32^3 grid:
-        # the lockstep DDA pays the worst ray's step count, and fewer,
-        # denser cells beat a finer grid for a coherent fluid surface
-        s = s._replace(accel=accel_mod.build(s, res=(32, 32, 32)))
-        img = render(s, cam, rcfg, key)
-        return state, img
+        s = s._replace(accel=accel_mod.build(s, res=(64, 64, 64)))
+        return state, s
 
-    fn = jax.jit(frame)
-    state, img = fn(state, jax.random.PRNGKey(1))
+    fn_sim = jax.jit(sim_mesh)
+    fn_render = jax.jit(lambda s, k: render(s, cam, rcfg, k))
+
+    def frame(state, key):
+        state, s = fn_sim(state, key)
+        return state, fn_render(s, key)
+
+    # 3 warmup frames: frame 1 pays the compiles, and by frame 4 the dam
+    # front is a real mid-splash surface (the frame-2 state still renders
+    # the nearly-intact seeded box, whose closed interior traps paths —
+    # measured ~1.7x slower than the representative frame)
+    for i in range(3):
+        state, img = frame(state, jax.random.PRNGKey(1 + i))
     sync(img)
     t0 = time.time()
-    state, img = fn(state, jax.random.PRNGKey(2))
+    state, img = frame(state, jax.random.PRNGKey(9))
     sync(img)
     dt_wall = time.time() - t0
     log(f"64^3 e2e sim+mesh+render frame: {dt_wall*1e3:.0f} ms")
