@@ -105,6 +105,11 @@ def main():
     builder.add_mesh(pos, idx, water)
     scene = builder.finish()
     t0 = time.time()
+    # accel res measured per scene: 256^3 (cells at the MC triangle scale)
+    # ran ~30% SLOWER than 64^3 here — the hero surface is a thin sheet in a
+    # huge open room, so the win from short per-cell lists loses to 4x more
+    # traversal steps (the DIST_CAP-16 jump covers 64 units at 4-unit cells
+    # but only 16 at 1-unit ones). 64^3 it is.
     scene = scene._replace(accel=accel_mod.build(scene, res=(64, 64, 64)))
     print(f"accel built in {time.time()-t0:.0f}s", flush=True)
 

@@ -25,6 +25,14 @@ The local math is the SAME code as the dense path (binning/slots/transfers/
 correction modules called on a local cfg with z-shifted positions), so
 sharded-vs-dense equivalence holds to reduction order and is tested
 (``tests/test_zshard.py``).
+
+Scaling envelope (design note): the 1D z decomposition is sized for
+single-host meshes (<= ~16 devices). Useful parallelism caps at
+nz / (ceil(cfl_number)+1) slabs — a 256^3 grid on 64 devices would leave
+4-cell slabs where the width-1 halos touch half the cells and a CFL-bounded
+substep can cross a whole slab. Scaling past that calls for a 2D/3D tile
+decomposition of the same structure (exchange rings per axis); the stage
+semantics here carry over unchanged, only ghost bookkeeping widens.
 """
 
 from __future__ import annotations
